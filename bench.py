@@ -27,13 +27,13 @@ def main():
 
     # NOTE: under the axon TPU platform, block_until_ready() returns before
     # execution finishes; a device->host readback is the only honest fence.
-    np.asarray(kernel(a, b)[:, :1, :1])  # compile + warm up
+    np.asarray(kernel(a, b)[0][:1, :1])  # compile + warm up
     n_iters = 20
     t0 = time.perf_counter()
     out = a
     for _ in range(n_iters):
         out = kernel(out, b)
-    np.asarray(out[:, :1, :1])
+    np.asarray(out[0][:1, :1])
     dt = time.perf_counter() - t0
 
     muls = 2 * n_iters * shape[0] * shape[1]

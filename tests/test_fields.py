@@ -54,7 +54,7 @@ def test_scalar_xfe():
 def test_gf_roundtrip(rng):
     vals = _rand_bfe(rng, 64)
     v = gf.from_u64(vals)
-    assert v.shape == (2, 64)
+    assert gf.shape(v) == (64,)
     np.testing.assert_array_equal(gf.to_u64(v), vals)
 
 
@@ -99,7 +99,7 @@ def test_gfx_ops(rng):
     a = _rand_bfe(rng, 3 * 21).reshape(21, 3)
     b = _rand_bfe(rng, 3 * 21)[::-1].reshape(21, 3)
     va, vb = gfx.from_u64(a), gfx.from_u64(b)
-    assert va.shape == (3, 2, 21)
+    assert gfx.shape(va) == (21,)
 
     got = gfx.to_u64(gfx.mul(va, vb))
     want = np.array([xfe.mul(tuple(map(int, x)), tuple(map(int, y)))

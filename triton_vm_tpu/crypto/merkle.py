@@ -1,0 +1,106 @@
+"""Merkle tree over Tip5 digests with de-duplicated authentication structures.
+
+Replaces `twenty-first`'s `MerkleTree` (`par_new`, `root`,
+`authentication_structure`, `MerkleTreeInclusionProof::verify`) as used by
+the reference at /root/reference/triton-vm/src/table/master_table.rs:443-453
+and stark.rs:1608-1674.
+
+Node indexing: 1-based heap layout — root at 1, leaf i at num_leafs + i,
+children of k at 2k / 2k+1. Authentication structures list the needed node
+digests in DESCENDING node-index order.
+
+Layer hashing runs batched on device (ops.tip5_kernel.hash_pairs).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..ops import gf, tip5_kernel
+
+ROOT_INDEX = 1
+
+
+class MerkleTree:
+    def __init__(self, leaf_digests):
+        """leaf_digests: numpy (n, 5) u64, or gf array (2, 5, n)."""
+        if isinstance(leaf_digests, np.ndarray):
+            leaves = gf.from_u64(leaf_digests.T)  # gf pair (5, n)
+        else:
+            leaves = leaf_digests
+        n = gf.shape(leaves)[-1]
+        assert n >= 1 and (n & (n - 1)) == 0, "leaf count must be a power of 2"
+        self.num_leafs = n
+        layers = [leaves]
+        while gf.shape(layers[-1])[-1] > 1:
+            cur = layers[-1]
+            left = gf.tmap(lambda x: x[:, 0::2], cur)
+            right = gf.tmap(lambda x: x[:, 1::2], cur)
+            layers.append(tip5_kernel._hash_pairs_jit(left, right))
+        # host copies, layer k has 2^k nodes; layers_host[0] = root layer
+        self._layers = [np.asarray(gf.to_u64(l)).T for l in reversed(layers)]
+
+    def node(self, index: int) -> tuple:
+        """Digest at 1-based heap node index."""
+        level = index.bit_length() - 1
+        return tuple(int(x) for x in self._layers[level][index - (1 << level)])
+
+    def root(self) -> tuple:
+        return self.node(ROOT_INDEX)
+
+    def leaf(self, i: int) -> tuple:
+        return self.node(self.num_leafs + i)
+
+    def authentication_structure(self, leaf_indices) -> list[tuple]:
+        idxs = auth_structure_node_indices(self.num_leafs, leaf_indices)
+        return [self.node(i) for i in idxs]
+
+
+def auth_structure_node_indices(num_leafs: int, leaf_indices) -> list[int]:
+    """Node indices revealed for the given leaves, deduplicated, in
+    descending order (twenty-first convention)."""
+    needed, computable = set(), set()
+    for leaf_index in leaf_indices:
+        assert 0 <= leaf_index < num_leafs
+        node = leaf_index + num_leafs
+        while node > ROOT_INDEX:
+            computable.add(node)
+            needed.add(node ^ 1)
+            node //= 2
+    return sorted(needed - computable, reverse=True)
+
+
+def verify_authentication_structure(
+    root: tuple, num_leafs: int, leaf_indices, leaf_digests, auth_structure
+) -> bool:
+    """MerkleTreeInclusionProof::verify equivalent (host, scalar Tip5)."""
+    from . import tip5
+
+    leaf_indices = list(leaf_indices)
+    if len(leaf_indices) != len(leaf_digests):
+        return False
+    if not leaf_indices:
+        return not auth_structure
+    needed = auth_structure_node_indices(num_leafs, leaf_indices)
+    if len(needed) != len(auth_structure):
+        return False
+    nodes = {i + num_leafs: tuple(d) for i, d in zip(leaf_indices, leaf_digests)}
+    nodes.update({i: tuple(d) for i, d in zip(needed, auth_structure)})
+    frontier = sorted(nodes, reverse=True)
+    while frontier:
+        idx = frontier.pop(0)
+        if idx == ROOT_INDEX:
+            break
+        parent = idx // 2
+        if parent in nodes:
+            continue
+        sibling = idx ^ 1
+        if sibling not in nodes:
+            return False
+        left, right = (idx, sibling) if idx % 2 == 0 else (sibling, idx)
+        nodes[parent] = tuple(tip5.hash_pair(nodes[left], nodes[right]))
+        # keep frontier sorted descending
+        import bisect
+        pos = bisect.bisect_left([-f for f in frontier], -parent)
+        frontier.insert(pos, parent)
+    return ROOT_INDEX in nodes and tuple(nodes[ROOT_INDEX]) == tuple(root)

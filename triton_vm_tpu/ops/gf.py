@@ -1,20 +1,24 @@
 """Vectorized Goldilocks arithmetic on 32-bit limb pairs (TPU-native).
 
-TPUs have no native 64-bit integer multiply, so a base-field element is
-represented as a pair of uint32 limbs stacked on the LEADING axis:
+TPUs have no native 64-bit integer multiply, so a base-field element array
+is a PAIR (tuple) of uint32 arrays:
 
-    v.shape == (2, *batch),  v[0] = low 32 bits,  v[1] = high 32 bits,
+    v = (lo, hi),  lo.shape == hi.shape == batch shape,
 
-with the canonical value v[1]*2^32 + v[0] in [0, p), p = 2^64 - 2^32 + 1.
-All operations keep values canonical. Reduction uses the Goldilocks
-identities 2^64 = 2^32 - 1 (mod p) and 2^96 = -1 (mod p).
+with canonical value hi*2^32 + lo in [0, p), p = 2^64 - 2^32 + 1. All
+operations keep values canonical. Reduction uses the Goldilocks identities
+2^64 = 2^32 - 1 (mod p) and 2^96 = -1 (mod p).
 
-This is the TPU-native replacement for the `twenty-first` crate's
-`BFieldElement` arithmetic that the reference prover leans on everywhere
-(e.g. /root/reference/triton-vm/src/arithmetic_domain.rs:107,
-/root/reference/triton-vm/src/table/master_table.rs:1194-1250).
-Semantics are tested element-for-element against
-`triton_vm_tpu.fields.bfe` (plain Python ints).
+Why tuples and not a stacked (2, ...) array: XLA fuses through
+concatenate/slice pairs by *duplicating* the producer computation, which is
+exponential in the depth of a mul chain (measured: pow7 = 8800x the cost of
+a single mul on XLA:CPU). Tuples are pytree leaves and never materialize a
+concatenate.
+
+This replaces the `twenty-first` crate's `BFieldElement` arithmetic used
+throughout the reference (e.g. /root/reference/triton-vm/src/
+arithmetic_domain.rs:107, table/master_table.rs:1194-1250). Tested
+element-for-element against `triton_vm_tpu.fields.bfe`.
 """
 
 from __future__ import annotations
@@ -34,7 +38,6 @@ EPS = 0xFFFF_FFFF  # 2^32 - 1 == 2^64 mod p
 # ------------------------------------------------------------------ helpers
 
 def _c(x):
-    """uint32 constant."""
     return jnp.asarray(x, U32)
 
 
@@ -85,12 +88,10 @@ def _mul64(alo, ahi, blo, bhi):
     l10, h10 = _mul32(ahi, blo)
     l11, h11 = _mul32(ahi, bhi)
     x0 = l00
-    # x1 = h00 + l01 + l10 (carries into x2)
     s1 = h00 + l01
     c1a = (s1 < h00).astype(U32)
     x1 = s1 + l10
     c1b = (x1 < s1).astype(U32)
-    # x2 = h01 + h10 + l11 + carries (carries into x3)
     s2 = h01 + h10
     c2a = (s2 < h01).astype(U32)
     s2b = s2 + l11
@@ -107,16 +108,12 @@ def _reduce128(x0, x1, x2, x3):
     n = x3*2^96 + x2*2^64 + (x1, x0)
       = (x1, x0) + x2*(2^32 - 1) - x3   (mod p).
     """
-    # t0 = (x1, x0) - x3, folding a borrow with the 2^64 = EPS identity
-    lo, hi, borrow = _sub64(x0, x1, x3, _c(0))
-    blo, bhi, _ = _sub64(lo, hi, _c(EPS) * borrow, _c(0))
-    lo, hi = blo, bhi
-    # t1 = x2 * EPS = (x2 << 32) - x2
-    t1_lo = _c(0) - x2
+    lo, hi, borrow = _sub64(x0, x1, x3, jnp.zeros_like(x3))
+    lo, hi, _ = _sub64(lo, hi, _c(EPS) * borrow, jnp.zeros_like(borrow))
+    t1_lo = jnp.zeros_like(x2) - x2
     t1_hi = x2 - (x2 != 0).astype(U32)
     lo, hi, carry = _add64(lo, hi, t1_lo, t1_hi)
-    alo, ahi, _ = _add64(lo, hi, _c(EPS) * carry, _c(0))
-    lo, hi = alo, ahi
+    lo, hi, _ = _add64(lo, hi, _c(EPS) * carry, jnp.zeros_like(carry))
     return _canon(lo, hi)
 
 
@@ -125,61 +122,93 @@ def _canon(lo, hi):
     geq = (hi == _c(P_HI)) & (lo >= _c(P_LO))
     m = geq.astype(U32)
     slo, shi, _ = _sub64(lo, hi, m * _c(P_LO), m * _c(P_HI))
-    return jnp.stack([slo, shi])
+    return (slo, shi)
 
 
 # ------------------------------------------------------------- public API
 
+def tmap(fn, *vs):
+    """Apply an array op to each limb: tmap(f, a) or tmap(f, a, b)."""
+    return tuple(fn(*xs) for xs in zip(*vs))
+
+
+def shape(v):
+    return v[0].shape
+
+
+def reshape(v, new_shape):
+    return tmap(lambda x: x.reshape(new_shape), v)
+
+
+def broadcast_to(v, new_shape):
+    return tmap(lambda x: jnp.broadcast_to(x, new_shape), v)
+
+
+def concatenate(vs, axis=0):
+    return (jnp.concatenate([v[0] for v in vs], axis=axis),
+            jnp.concatenate([v[1] for v in vs], axis=axis))
+
+
+def stack(vs, axis=0):
+    return (jnp.stack([v[0] for v in vs], axis=axis),
+            jnp.stack([v[1] for v in vs], axis=axis))
+
+
+def index(v, idx):
+    """Index/slice the batch dimensions: index(v, (slice, ...))."""
+    return (v[0][idx], v[1][idx])
+
+
+def take(v, indices, axis=0):
+    return tmap(lambda x: jnp.take(x, indices, axis=axis), v)
+
+
 def zeros(shape=()):
-    return jnp.zeros((2, *shape), U32)
+    z = jnp.zeros(shape, U32)
+    return (z, z)
 
 
 def ones(shape=()):
-    z = np.zeros((2, *shape), np.uint32)
-    z[0] = 1
-    return jnp.asarray(z)
+    return (jnp.ones(shape, U32), jnp.zeros(shape, U32))
 
 
 def full(shape, value: int):
     value %= P
-    out = np.empty((2, *shape), np.uint32)
-    out[0] = value & 0xFFFFFFFF
-    out[1] = value >> 32
-    return jnp.asarray(out)
+    return (jnp.full(shape, np.uint32(value & 0xFFFFFFFF), U32),
+            jnp.full(shape, np.uint32(value >> 32), U32))
 
 
-def from_u64(arr) -> jax.Array:
-    """numpy uint64 (or python-int list) array -> limb representation."""
+def from_u64(arr):
+    """numpy uint64 (or python-int list) array -> limb pair."""
     a = np.asarray(arr, np.uint64)
-    return jnp.stack([
-        jnp.asarray((a & np.uint64(0xFFFFFFFF)).astype(np.uint32)),
-        jnp.asarray((a >> np.uint64(32)).astype(np.uint32)),
-    ])
+    return (jnp.asarray((a & np.uint64(0xFFFFFFFF)).astype(np.uint32)),
+            jnp.asarray((a >> np.uint64(32)).astype(np.uint32)))
 
 
 def to_u64(v) -> np.ndarray:
-    a = np.asarray(v)
-    return a[0].astype(np.uint64) | (a[1].astype(np.uint64) << np.uint64(32))
+    lo = np.asarray(v[0])
+    hi = np.asarray(v[1])
+    return lo.astype(np.uint64) | (hi.astype(np.uint64) << np.uint64(32))
 
 
 def add(a, b):
     lo, hi, carry = _add64(a[0], a[1], b[0], b[1])
-    # carry => result is exactly a+b-p after adding EPS (see module docstring)
-    lo2, hi2, _ = _add64(lo, hi, _c(EPS) * carry, _c(0))
-    return _canon(lo2, hi2)
+    # carry => result is exactly a+b-p after adding EPS (see docstring)
+    lo, hi, _ = _add64(lo, hi, _c(EPS) * carry, jnp.zeros_like(carry))
+    return _canon(lo, hi)
 
 
 def sub(a, b):
     lo, hi, borrow = _sub64(a[0], a[1], b[0], b[1])
-    lo2, hi2, _ = _sub64(lo, hi, _c(EPS) * borrow, _c(0))
-    return jnp.stack([lo2, hi2])
+    lo, hi, _ = _sub64(lo, hi, _c(EPS) * borrow, jnp.zeros_like(borrow))
+    return (lo, hi)
 
 
 def neg(a):
-    is_zero = (a[0] | a[1]) == 0
+    is_zero_ = (a[0] | a[1]) == 0
     lo, hi, _ = _sub64(_c(P_LO), _c(P_HI), a[0], a[1])
     z = jnp.zeros_like(lo)
-    return jnp.stack([jnp.where(is_zero, z, lo), jnp.where(is_zero, z, hi)])
+    return (jnp.where(is_zero_, z, lo), jnp.where(is_zero_, z, hi))
 
 
 def mul(a, b):
@@ -193,18 +222,18 @@ def square(a):
 
 def mul_const(a, k: int):
     """Multiply by a compile-time constant in [0, p)."""
-    return mul(a, full(_bshape(a), k))
-
-
-def _bshape(a):
-    return a.shape[1:]
+    k %= P
+    klo = _c(k & 0xFFFFFFFF)
+    khi = _c(k >> 32)
+    x0, x1, x2, x3 = _mul64(a[0], a[1], klo, khi)
+    return _reduce128(x0, x1, x2, x3)
 
 
 def pow_const(a, e: int):
     """a**e for a static non-negative integer exponent (unrolled)."""
     if e < 0:
         raise ValueError("negative exponent; invert first")
-    result = ones(_bshape(a))
+    result = ones(shape(a))
     base = a
     while e:
         if e & 1:
@@ -229,45 +258,36 @@ def is_zero(a):
 
 def select(mask, a, b):
     """Elementwise select: mask ? a : b (mask has batch shape)."""
-    return jnp.where(mask[None], a, b)
+    return (jnp.where(mask, a[0], b[0]), jnp.where(mask, a[1], b[1]))
 
 
 def batch_inverse(v, axis: int):
-    """Batch inversion along a batch axis (axis counted in batch dims,
-    i.e. axis 0 is v.shape[1]). Zero inputs map to zero, matching
-    twenty-first's `batch_inversion` convention used by the reference's
-    log-derivative columns."""
-    ax = axis + 1
+    """Batch inversion along a batch axis. Zero inputs map to zero,
+    matching twenty-first's `batch_inversion` convention used by the
+    reference's log-derivative columns."""
     zero_mask = is_zero(v)
-    one = ones(_bshape(v))
-    safe = select(zero_mask, jnp.broadcast_to(one, v.shape), v)
+    one = broadcast_to(ones(()), shape(v))
+    safe = select(zero_mask, one, v)
 
-    def op(x, y):
-        return mul(x, y)
+    prefix = jax.lax.associative_scan(mul, safe, axis=axis)
+    suffix = jax.lax.associative_scan(mul, safe, axis=axis, reverse=True)
+    n = shape(v)[axis]
+    total = take(prefix, jnp.array([n - 1]), axis=axis)
+    total_inv = broadcast_to(inv(total), shape(v))
 
-    # prefix[i] = x0*...*xi ; suffix[i] = xi*...*x_{n-1}
-    prefix = jax.lax.associative_scan(op, safe, axis=ax)
-    suffix = jax.lax.associative_scan(op, safe, axis=ax, reverse=True)
-    n = v.shape[ax]
-    total = jnp.take(prefix, jnp.array([n - 1]), axis=ax)
-    total_inv = inv(total)  # ax-dim is 1, broadcasts below
-
-    excl_prefix = jnp.roll(prefix, 1, axis=ax)
-    excl_prefix = _set_index(excl_prefix, ax, 0, 1)
-    excl_suffix = jnp.roll(suffix, -1, axis=ax)
-    excl_suffix = _set_index(excl_suffix, ax, n - 1, 1)
-
-    out = mul(mul(excl_prefix, excl_suffix), jnp.broadcast_to(total_inv, v.shape))
-    return select(zero_mask, zeros(_bshape(v)), out)
+    excl_prefix = _shift_one(prefix, axis, 1)
+    excl_suffix = _shift_one(suffix, axis, -1)
+    out = mul(mul(excl_prefix, excl_suffix), total_inv)
+    return select(zero_mask, zeros(shape(v)), out)
 
 
-def _set_index(v, ax, idx, value: int):
-    lo = value & 0xFFFFFFFF
-    hi = value >> 32
-    ind = [slice(None)] * v.ndim
-    ind[ax] = idx
-    ind[0] = 0
-    v = v.at[tuple(ind)].set(np.uint32(lo))
-    ind[0] = 1
-    v = v.at[tuple(ind)].set(np.uint32(hi))
-    return v
+def _shift_one(v, axis, direction):
+    """Roll by one along axis, writing the identity (1) at the boundary."""
+    rolled = tmap(lambda x: jnp.roll(x, direction, axis=axis), v)
+    n = shape(v)[axis]
+    idx = [slice(None)] * len(shape(v))
+    idx[axis] = 0 if direction == 1 else n - 1
+    idx = tuple(idx)
+    lo = rolled[0].at[idx].set(np.uint32(1))
+    hi = rolled[1].at[idx].set(np.uint32(0))
+    return (lo, hi)

@@ -1,9 +1,8 @@
 """Vectorized degree-3 extension field F_p[x]/(x^3 - x + 1) on TPU.
 
-An XFE array stacks the three coefficients on the LEADING axis on top of
-the base-field limb representation:
+An XFE array is a triple of gf limb pairs:
 
-    v.shape == (3, 2, *batch),  v[i] = i-th coefficient as a gf array.
+    v = (c0, c1, c2),  each c_i = (lo, hi) uint32 arrays of the batch shape.
 
 TPU-native replacement for `twenty-first`'s `XFieldElement` as used by the
 reference (e.g. /root/reference/triton-vm/src/stark.rs:427-433). Tested
@@ -21,67 +20,65 @@ from ..fields import xfe as _sxfe
 from ..fields.bfe import P
 
 
-def _bshape(a):
-    return a.shape[2:]
+def shape(a):
+    return a[0][0].shape
+
+
+def tmap(fn, *vs):
+    """Apply an array op to each of the 6 underlying u32 arrays."""
+    return tuple(gf.tmap(fn, *cs) for cs in zip(*vs))
 
 
 def zeros(shape=()):
-    return jnp.zeros((3, 2, *shape), gf.U32)
+    z = gf.zeros(shape)
+    return (z, z, z)
 
 
 def ones(shape=()):
-    z = np.zeros((3, 2, *shape), np.uint32)
-    z[0, 0] = 1
-    return jnp.asarray(z)
+    return (gf.ones(shape), gf.zeros(shape), gf.zeros(shape))
 
 
-def full(shape, value) -> jax.Array:
+def full(shape, value):
     """value: scalar XFE as (c0, c1, c2) python ints."""
-    c0, c1, c2 = value
-    out = np.empty((3, 2, *shape), np.uint32)
-    for i, c in enumerate((c0 % P, c1 % P, c2 % P)):
-        out[i, 0] = c & 0xFFFFFFFF
-        out[i, 1] = c >> 32
-    return jnp.asarray(out)
+    return tuple(gf.full(shape, c) for c in value)
 
 
 def from_coeffs(c0, c1, c2):
-    """Three gf arrays -> one XFE array."""
-    return jnp.stack([c0, c1, c2])
+    return (c0, c1, c2)
 
 
 def lift(b):
-    """gf array -> XFE array with zero x and x^2 coefficients."""
-    return jnp.stack([b, jnp.zeros_like(b), jnp.zeros_like(b)])
+    """gf pair -> XFE with zero x and x^2 coefficients."""
+    z = gf.zeros(gf.shape(b))
+    return (b, z, z)
 
 
-def from_u64(arr) -> jax.Array:
-    """numpy array (..., 3) of u64 coefficient triples -> XFE array."""
+def from_u64(arr):
+    """numpy array (..., 3) of u64 coefficient triples -> XFE tuple."""
     a = np.asarray(arr, np.uint64)
-    return jnp.stack([gf.from_u64(a[..., i]) for i in range(3)])
+    return tuple(gf.from_u64(a[..., i]) for i in range(3))
 
 
 def to_u64(v) -> np.ndarray:
-    """XFE array -> numpy (..., 3) u64."""
     return np.stack([gf.to_u64(v[i]) for i in range(3)], axis=-1)
 
 
 def add(a, b):
-    return jnp.stack([gf.add(a[i], b[i]) for i in range(3)])
+    return tuple(gf.add(a[i], b[i]) for i in range(3))
 
 
 def sub(a, b):
-    return jnp.stack([gf.sub(a[i], b[i]) for i in range(3)])
+    return tuple(gf.sub(a[i], b[i]) for i in range(3))
 
 
 def neg(a):
-    return jnp.stack([gf.neg(a[i]) for i in range(3)])
+    return tuple(gf.neg(a[i]) for i in range(3))
 
 
 def mul(a, b):
     """Schoolbook product reduced by x^3 = x - 1, x^4 = x^2 - x."""
-    a0, a1, a2 = a[0], a[1], a[2]
-    b0, b1, b2 = b[0], b[1], b[2]
+    a0, a1, a2 = a
+    b0, b1, b2 = b
     d0 = gf.mul(a0, b0)
     d1 = gf.add(gf.mul(a0, b1), gf.mul(a1, b0))
     d2 = gf.add(gf.add(gf.mul(a0, b2), gf.mul(a1, b1)), gf.mul(a2, b0))
@@ -90,12 +87,12 @@ def mul(a, b):
     c0 = gf.sub(d0, d3)
     c1 = gf.add(d1, gf.sub(d3, d4))
     c2 = gf.add(d2, d4)
-    return jnp.stack([c0, c1, c2])
+    return (c0, c1, c2)
 
 
 def bfe_mul(a, s):
-    """XFE array times gf array (elementwise)."""
-    return jnp.stack([gf.mul(a[i], s) for i in range(3)])
+    """XFE times gf pair (elementwise)."""
+    return tuple(gf.mul(a[i], s) for i in range(3))
 
 
 def square(a):
@@ -105,7 +102,7 @@ def square(a):
 def pow_const(a, e: int):
     if e < 0:
         raise ValueError("negative exponent; invert first")
-    result = ones(_bshape(a))
+    result = ones(shape(a))
     base = a
     while e:
         if e & 1:
@@ -121,8 +118,9 @@ _XP2 = _sxfe.mul(_XP, _XP)
 
 
 def _frobenius(a):
-    xp = full(_bshape(a), _XP)
-    xp2 = full(_bshape(a), _XP2)
+    sh = shape(a)
+    xp = full(sh, _XP)
+    xp2 = full(sh, _XP2)
     t = bfe_mul(xp, a[1])
     u = bfe_mul(xp2, a[2])
     return add(add(lift(a[0]), t), u)
@@ -146,43 +144,38 @@ def is_zero(a):
 
 
 def select(mask, a, b):
-    return jnp.where(mask[None, None], a, b)
+    return tuple(gf.select(mask, a[i], b[i]) for i in range(3))
 
 
 def batch_inverse(v, axis: int):
     """Batch inversion along a batch axis; zeros map to zero."""
-    ax = axis + 2
     zero_mask = is_zero(v)
-    safe = select(zero_mask, jnp.broadcast_to(ones(_bshape(v)), v.shape), v)
+    one = tmap(lambda x: jnp.broadcast_to(x, shape(v)), ones(()))
+    safe = select(zero_mask, one, v)
 
-    def op(x, y):
-        # associative_scan passes stacked leaves; x,y are XFE arrays
-        return mul(x, y)
+    prefix = jax.lax.associative_scan(mul, safe, axis=axis)
+    suffix = jax.lax.associative_scan(mul, safe, axis=axis, reverse=True)
+    n = shape(v)[axis]
+    total = tmap(lambda x: jnp.take(x, jnp.array([n - 1]), axis=axis), prefix)
+    total_inv = tmap(lambda x: jnp.broadcast_to(x, shape(v)), inv(total))
 
-    prefix = jax.lax.associative_scan(op, safe, axis=ax)
-    suffix = jax.lax.associative_scan(op, safe, axis=ax, reverse=True)
-    n = v.shape[ax]
-    total = jnp.take(prefix, jnp.array([n - 1]), axis=ax)
-    total_inv = inv(total)
-
-    excl_prefix = jnp.roll(prefix, 1, axis=ax)
-    excl_prefix = _set_one(excl_prefix, ax, 0)
-    excl_suffix = jnp.roll(suffix, -1, axis=ax)
-    excl_suffix = _set_one(excl_suffix, ax, n - 1)
-
-    out = mul(mul(excl_prefix, excl_suffix), jnp.broadcast_to(total_inv, v.shape))
-    return select(zero_mask, jnp.zeros_like(v), out)
+    excl_prefix = _shift_one(prefix, axis, 1)
+    excl_suffix = _shift_one(suffix, axis, -1)
+    out = mul(mul(excl_prefix, excl_suffix), total_inv)
+    return select(zero_mask, zeros(shape(v)), out)
 
 
-def _set_one(v, ax, idx):
-    ind = [slice(None)] * v.ndim
-    ind[ax] = idx
-    # zero the slice, then set the c0 low limb to 1 (the XFE one)
-    for ci in range(3):
-        for li in range(2):
-            ind2 = list(ind)
-            ind2[0] = ci
-            ind2[1] = li
-            val = np.uint32(1) if (ci == 0 and li == 0) else np.uint32(0)
-            v = v.at[tuple(ind2)].set(val)
-    return v
+def _shift_one(v, axis, direction):
+    rolled = tmap(lambda x: jnp.roll(x, direction, axis=axis), v)
+    n = shape(v)[axis]
+    idx = [slice(None)] * len(shape(v))
+    idx[axis] = 0 if direction == 1 else n - 1
+    idx = tuple(idx)
+
+    def fix(x, value):
+        return x.at[idx].set(np.uint32(value))
+
+    c0 = (fix(rolled[0][0], 1), fix(rolled[0][1], 0))
+    c1 = (fix(rolled[1][0], 0), fix(rolled[1][1], 0))
+    c2 = (fix(rolled[2][0], 0), fix(rolled[2][1], 0))
+    return (c0, c1, c2)
