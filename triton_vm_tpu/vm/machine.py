@@ -121,7 +121,9 @@ class OpStack:
     (/root/reference/triton-isa/src/op_stack.rs:38-220)."""
 
     def __init__(self, program_digest):
-        self.stack = [0] * 11 + list(reversed(program_digest))
+        # bottom-first vec; reversed digest occupies the deepest slots
+        # ST11..ST15 (op_stack.rs:new)
+        self.stack = list(reversed(program_digest)) + [0] * 11
         self.underflow_io = []  # list of (is_write, payload)
 
     def __len__(self):
