@@ -1,0 +1,39 @@
+"""End-to-end: prove and verify a Triton VM execution."""
+
+import pytest
+
+from triton_vm_tpu.models import example_programs as ex
+from triton_vm_tpu.stark.proof_stream import Claim, Proof
+from triton_vm_tpu.stark.prover import Stark, VerificationError
+from triton_vm_tpu.vm.machine import VM, PublicInput
+
+SEED = bytes(range(32))
+
+
+@pytest.mark.slow
+def test_prove_and_verify_fibonacci():
+    program = ex.fibonacci()
+    public_input = PublicInput([7])
+    aet, output = VM.trace_execution(program, public_input)
+    claim = Claim.about_program(program).with_input([7]).with_output(output)
+
+    stark = Stark()
+    proof = stark.prove(claim, aet, seed=SEED)
+    assert stark.verify(claim, proof)
+
+    # proof is a plain word list; serialization round trip
+    reloaded = Proof(list(proof.words))
+    assert reloaded.padded_height() == aet.padded_height()
+    assert stark.verify(claim, reloaded)
+
+    # tampered claim fails
+    bad_claim = Claim.about_program(program).with_input([7]).with_output(
+        [(output[0] + 1)])
+    with pytest.raises(VerificationError):
+        stark.verify(bad_claim, proof)
+
+    # tampered proof word fails
+    bad = list(proof.words)
+    bad[len(bad) // 2] = (bad[len(bad) // 2] + 1) % (2**64 - 2**32 + 1)
+    with pytest.raises(Exception):
+        stark.verify(claim, Proof(bad))

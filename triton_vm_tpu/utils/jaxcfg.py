@@ -23,8 +23,15 @@ def setup():
         os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__)))), ".jax_cache"),
     )
+    if os.environ.get("TVM_JAX_CACHE", "1") == "0":
+        return
     try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        # The XLA:CPU AOT cache mis-detects machine features in this
+        # environment and fails to load every entry (wasting time and
+        # spamming stderr); only use the persistent cache on real backends.
+        if jax.default_backend() != "cpu":
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                              0.5)
     except Exception:
         pass
