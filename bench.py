@@ -1,47 +1,49 @@
 """Benchmark entry point. Prints ONE JSON line for the driver.
 
-Currently measures Goldilocks field-multiply throughput on the default
-device (real TPU under the driver). Will become the end-to-end prover
-benchmark once the STARK pipeline lands.
+Measures end-to-end prover wall-clock for the fibonacci workload
+(BASELINE.md config 1). The NTT/LDE/Tip5/Merkle stages run on the default
+device (real TPU under the driver); witness generation and the remaining
+prover glue are host-side in this round.
+
+NOTE: under the axon TPU platform, block_until_ready() lies; end-to-end
+wall-clock (which includes host readbacks) is the honest measure here.
 """
 
 import json
+import os
+import sys
 import time
-
-import numpy as np
 
 
 def main():
-    import jax
-    from triton_vm_tpu.fields.bfe import P
-    from triton_vm_tpu.ops import gf
+    os.environ.setdefault("TVM_JAX_CACHE", "1")
+    from triton_vm_tpu import Claim, Stark, PublicInput, VM, profiler
+    from triton_vm_tpu.models import example_programs as ex
 
-    rng = np.random.default_rng(1)
-    shape = (256, 65536)  # 16M field elements
-    a = gf.from_u64(rng.integers(0, P, size=shape, dtype=np.uint64))
-    b = gf.from_u64(rng.integers(0, P, size=shape, dtype=np.uint64))
+    program = ex.fibonacci()
+    # 85 loop iterations put the padded height at 2^10 (BASELINE config 1)
+    fib_input = 85
+    aet, output = VM.trace_execution(program, PublicInput([fib_input]))
+    claim = (Claim.about_program(program)
+             .with_input([fib_input]).with_output(output))
+    stark = Stark()
 
-    @jax.jit
-    def kernel(a, b):
-        return gf.mul(gf.mul(a, b), gf.add(a, b))
-
-    # NOTE: under the axon TPU platform, block_until_ready() returns before
-    # execution finishes; a device->host readback is the only honest fence.
-    np.asarray(kernel(a, b)[0][:1, :1])  # compile + warm up
-    n_iters = 20
+    if os.environ.get("TVM_PROFILE") == "1":
+        profiler.start("prove fibonacci")
     t0 = time.perf_counter()
-    out = a
-    for _ in range(n_iters):
-        out = kernel(out, b)
-    np.asarray(out[0][:1, :1])
-    dt = time.perf_counter() - t0
+    proof = stark.prove(claim, aet, seed=bytes(range(32)))
+    prove_seconds = time.perf_counter() - t0
+    if os.environ.get("TVM_PROFILE") == "1":
+        report = (profiler.finish()
+                  .with_cycle_count(aet.height_of_table("processor"))
+                  .with_padded_height(aet.padded_height()))
+        print(report, file=sys.stderr)
+    assert stark.verify(claim, proof)
 
-    muls = 2 * n_iters * shape[0] * shape[1]
-    rate = muls / dt / 1e9
     print(json.dumps({
-        "metric": "goldilocks_mul_throughput",
-        "value": round(rate, 3),
-        "unit": "Gmul/s",
+        "metric": "prove_fib_padded_height_1024_wall_clock",
+        "value": round(prove_seconds, 3),
+        "unit": "s",
         "vs_baseline": 0.0,
     }))
 

@@ -13,6 +13,7 @@ as follow-up work in SURVEY.md §2.5.
 
 from __future__ import annotations
 
+import functools
 import hashlib
 
 import numpy as np
@@ -35,12 +36,24 @@ from .proof_stream import Claim, Proof, ProofStream
 import os as _os
 import time as _time
 
+from ..utils import profiler as _profiler
+
 _TRACE = _os.environ.get("TVM_TRACE") == "1"
 _T0 = _time.time()
+_CURRENT_STAGE = None
 
 
-def _trace(msg):
-    if _TRACE:
+def _trace(msg, category=None):
+    """Stage marker: closes the previous prover stage span (if any) and
+    opens a new one in the global profiler; also prints under TVM_TRACE=1.
+    Call with msg=None to close the final stage."""
+    global _CURRENT_STAGE
+    if _CURRENT_STAGE is not None:
+        _profiler.exit(_CURRENT_STAGE)
+    _CURRENT_STAGE = msg
+    if msg is not None:
+        _profiler.enter(msg, category)
+    if _TRACE and msg is not None:
         print(f"[{_time.time() - _T0:8.1f}s] {msg}", flush=True)
 
 NUM_QUOTIENT_SEGMENTS = 4
@@ -206,25 +219,25 @@ class Prover:
         eval_dom = ldt_dom if L >= Q else quot_dom
 
         # ------------------------------------------------------ main table
-        _trace("fill main")
+        _trace("fill main", "witness")
         main = mt.fill_main_table(aet, padded_height=h)
         mt.fill_derived_main_columns(main)
 
         main_rand_coeffs = [
             _drbg_bfes(self.seed, i, ntr) for i in range(NUM_MAIN)]
-        _trace("main LDE")
+        _trace("main LDE", "LDE")
         main_lde = _lde_bfe_columns(main, main_rand_coeffs, trace_dom,
                                     eval_dom)
         main_ldt = main_lde[:, :: E // L] if E != L else main_lde
 
-        _trace("main merkle")
+        _trace("main merkle", "hash")
         main_tree = _merkle_tree_over_bfe_rows(main_ldt)
         proof_stream.enqueue(ProofItem("MerkleRoot", main_tree.root()))
         challenges = Challenges(proof_stream.sample_scalars(SAMPLE_COUNT),
                                 claim)
 
         # ------------------------------------------------------- aux table
-        _trace("extend aux")
+        _trace("extend aux", "witness")
         aux = mt.extend(main, challenges)
         mt.fill_derived_aux_columns(main, aux, challenges.challenges)
         batch_rand = _drbg_xfes(self.seed, NUM_MAIN + NUM_AUX, h)
@@ -232,11 +245,11 @@ class Prover:
 
         aux_rand_coeffs = [
             _drbg_xfes(self.seed, NUM_MAIN + i, ntr) for i in range(NUM_AUX)]
-        _trace("aux LDE")
+        _trace("aux LDE", "LDE")
         aux_lde = _lde_xfe_columns(aux, aux_rand_coeffs, trace_dom, eval_dom)
         aux_ldt = aux_lde[:, :: E // L] if E != L else aux_lde
 
-        _trace("aux merkle")
+        _trace("aux merkle", "hash")
         aux_tree = _merkle_tree_over_xfe_rows(aux_ldt)
         proof_stream.enqueue(ProofItem("MerkleRoot", aux_tree.root()))
 
@@ -249,11 +262,11 @@ class Prover:
         stride = E // Q
         main_q = main_lde[:, ::stride] if stride != 1 else main_lde
         aux_q = aux_lde[:, :, ::stride] if stride != 1 else aux_lde
-        _trace("quotients")
-        quotient_codeword = _all_quotients_combined(
+        _trace("quotients", "quotient")
+        quotient_codeword = _quotients_dispatch(
             main_q, aux_q, trace_dom, quot_dom, challenges, quot_weights)
 
-        _trace("segmentify")
+        _trace("segmentify", "quotient")
         segment_polys = _interpolate_quotient_segments(
             quotient_codeword, quot_dom)
         segment_codewords = [
@@ -277,12 +290,12 @@ class Prover:
                 zip(rand_seg_codewords[i], addend_codeword)]
             rand_seg_polys[i] = poly.add(rand_seg_polys[i], addend_poly, xfe)
 
-        _trace("quot merkle")
+        _trace("quot merkle", "hash")
         quot_tree = _merkle_tree_over_xfe_segment_rows(rand_seg_codewords)
         proof_stream.enqueue(ProofItem("MerkleRoot", quot_tree.root()))
 
         # ------------------------------------------------------- OOD rows
-        _trace("OOD")
+        _trace("OOD", "DEEP")
         alpha = proof_stream.sample_scalars(1)[0]
         omega_alpha = xfe.bfe_mul(alpha, trace_dom.generator)
 
@@ -315,7 +328,7 @@ class Prover:
         weights = _sample_combination_weights(proof_stream)
         short_dom = ldt_dom if L <= Q else quot_dom
 
-        _trace("weighted sum")
+        _trace("weighted sum", "DEEP")
         main_aux_poly = _weighted_sum_of_columns(
             main, aux, main_rand_coeffs, aux_rand_coeffs, trace_dom,
             weights["main"], weights["aux"])
@@ -358,7 +371,7 @@ class Prover:
             comb_coeffs = _interp_xfe_codeword(combination, short_dom)
             combination = _eval_xfe_poly_on_domain(comb_coeffs, ldt_dom)
 
-        _trace("FRI")
+        _trace("FRI", "FRI")
         revealed_indices = fri.prove(combination, proof_stream)
 
         # ZK guard (stark.rs:644-663)
@@ -393,6 +406,7 @@ class Prover:
             "AuthenticationStructure",
             quot_tree.authentication_structure(revealed_indices)))
 
+        _trace(None)
         return proof_stream.to_proof()
 
 
@@ -701,6 +715,116 @@ def _merkle_tree_over_xfe_segment_rows(segment_codewords):
         flat[:, 3 * s:3 * s + 3] = arr
     digests = tip5_kernel.sponge_absorb_rows(gf.from_u64(flat))
     return merkle.MerkleTree(digests)
+
+
+def _quotients_dispatch(main_q, aux_q, trace_dom, quot_dom, challenges,
+                        quot_weights):
+    """Pick the quotient evaluation backend.
+
+    TVM_DEVICE_QUOTIENT=1 forces the compiled device tapes, =0 forces the
+    exact host evaluator; default 'auto' uses the device path on real
+    accelerators and the host path on CPU (where the one-time XLA compile
+    of the transition tape dominates small test workloads)."""
+    import jax
+
+    mode = _os.environ.get("TVM_DEVICE_QUOTIENT", "auto")
+    use_device = mode == "1" or (mode == "auto"
+                                 and jax.default_backend() != "cpu")
+    if use_device:
+        return _all_quotients_combined_device(
+            main_q, aux_q, trace_dom, quot_dom, challenges, quot_weights)
+    return _all_quotients_combined(
+        main_q, aux_q, trace_dom, quot_dom, challenges, quot_weights)
+
+
+def _gf_sum0(v):
+    """Sum a gf pair over axis 0 by halving (log-depth, mod-reduced)."""
+    import jax.numpy as jnp
+    K = gf.shape(v)[0]
+    Kp = 1 << max(K - 1, 0).bit_length()
+    if Kp != K:
+        pad = ((0, Kp - K),) + ((0, 0),) * (len(gf.shape(v)) - 1)
+        v = gf.tmap(lambda a: jnp.pad(a, pad), v)
+    while Kp > 1:
+        half = Kp // 2
+        v = gf.add(gf.tmap(lambda a: a[:half], v),
+                   gf.tmap(lambda a: a[half:], v))
+        Kp = half
+    return gf.tmap(lambda a: a[0], v)
+
+
+@functools.lru_cache(maxsize=8)
+def _quotient_fn(Q, unit, h, gen_inv):
+    """Jitted all-phase quotient combiner over the quotient domain
+    (device counterpart of _all_quotients_combined; the constraint DAGs
+    execute as compiled tapes, see air/compile.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..air import compile as aircomp
+
+    tapes = {ph: aircomp.phase_tape(ph)
+             for ph in ("init", "cons", "tran", "term")}
+
+    def fn(main, aux, ch, ws, xs):
+        next_main = gf.tmap(lambda a: jnp.roll(a, -unit, axis=1), main)
+        next_aux = gfx.tmap(lambda a: jnp.roll(a, -unit, axis=1), aux)
+        one = gf.full((), 1)
+        gi = gf.full((), gen_inv)
+        init_zi = gf.batch_inverse(gf.sub(xs, one), axis=0)
+        xh = gf.pow_const(xs, h)
+        cons_zi = gf.batch_inverse(gf.sub(xh, one), axis=0)
+        tran_zi = gf.mul(gf.sub(xs, gi), cons_zi)
+        term_zi = gf.batch_inverse(gf.sub(xs, gi), axis=0)
+        zis = {"init": init_zi, "cons": cons_zi, "tran": tran_zi,
+               "term": term_zi}
+        acc = gfx.zeros((Q,))
+        for i, ph in enumerate(("init", "cons", "tran", "term")):
+            if ph == "tran":
+                outs = aircomp.run_tape(tapes[ph], main, aux, ch,
+                                        next_main, next_aux)
+            else:
+                outs = aircomp.run_tape(tapes[ph], main, aux, ch)
+            wk = gfx.tmap(lambda a: a[:, None], ws[i])
+            prod = gfx.mul(outs, wk)
+            inner = tuple(_gf_sum0(c) for c in prod)
+            acc = gfx.add(acc, gfx.bfe_mul(inner, zis[ph]))
+        return acc
+
+    return jax.jit(fn)
+
+
+def _all_quotients_combined_device(main_q, aux_q, trace_dom, quot_dom,
+                                   challenges, quot_weights):
+    """Device path for master_table.rs:1264-1363: run the compiled AIR
+    tapes over the quotient domain and combine with weights + zerofier
+    inverses, all in one jitted graph. Bit-identical to the host path
+    (validated in tests/test_air_compile.py)."""
+    air = master_air()
+    Q = quot_dom.length
+    unit = Q // trace_dom.length
+
+    main = gf.from_u64(main_q.astype(np.uint64))
+    aux = tuple(gf.from_u64(aux_q[c].astype(np.uint64)) for c in range(3))
+    ch_u = np.array(challenges.challenges, np.uint64)  # (63, 3)
+    ch = tuple(gf.from_u64(ch_u[:, c]) for c in range(3))
+
+    w = np.array(quot_weights, np.uint64)  # (num_constraints, 3)
+    ws = []
+    off = 0
+    for ph in ("init", "cons", "tran", "term"):
+        k = len(air.constraints[ph])
+        wp = w[off:off + k]
+        off += k
+        ws.append(tuple(gf.from_u64(wp[:, c]) for c in range(3)))
+
+    xs = gf.from_u64(np.array(quot_dom.values(), np.uint64))
+    gen_inv = bfe.inv(trace_dom.generator)
+
+    fn = _quotient_fn(Q, unit, trace_dom.length, gen_inv)
+    acc = fn(main, aux, ch, tuple(ws), xs)
+    out = np.stack([gf.to_u64(acc[c]) for c in range(3)])  # (3, Q)
+    return [tuple(int(out[c][i]) for c in range(3)) for i in range(Q)]
 
 
 def _all_quotients_combined(main_lde, aux_lde, trace_dom, quot_dom,
