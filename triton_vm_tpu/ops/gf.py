@@ -244,8 +244,22 @@ def pow_const(a, e: int):
 
 
 def inv(a):
-    """Fermat inversion a^(p-2); inputs must be nonzero."""
-    return pow_const(a, P - 2)
+    """Fermat inversion a^(p-2); inputs must be nonzero.
+
+    Square-and-multiply under lax.fori_loop: the unrolled 64-step chain
+    (pow_const) sends XLA:CPU's algebraic simplifier into a circular
+    simplification loop and blows up compile time; the rolled loop keeps
+    the graph ~130 ops regardless of exponent width."""
+    import jax
+    e = P - 2
+    bits = jnp.array([(e >> (63 - i)) & 1 for i in range(64)], jnp.uint32)
+
+    def body(i, res):
+        res = mul(res, res)
+        return select(bits[i] == 1, mul(res, a), res)
+
+    # MSB is 1: start from a (skips one squaring of 1)
+    return jax.lax.fori_loop(1, 64, body, a)
 
 
 def eq(a, b):

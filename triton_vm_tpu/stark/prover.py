@@ -4,11 +4,13 @@ Transcribes /root/reference/triton-vm/src/stark.rs: parameter derivation
 (randomized trace length, max degree, FRI setup), the full DEEP-ALI proving
 pipeline (stark.rs:331-719) and verification (stark.rs:1388-1763).
 
-Compute placement (round 1): NTT/LDE and iNTT run on device
-(triton_vm_tpu.ops.ntt); constraint evaluation over the quotient domain
-uses the exact vectorized host evaluator; running arguments and Fiat-Shamir
-are host-side. Device-side batching of the remaining hot loops is tracked
-as follow-up work in SURVEY.md §2.5.
+Compute placement: NTT/LDE/iNTT, Merkle/Tip5 hashing, quotient AIR
+evaluation (compiled tapes, air/compile.py), DEEP codewords, OOD
+barycentric numerators and weighted column sums all run on device
+(ops/kernels.py); witness generation, aux extension, Fiat-Shamir, and the
+O(num_cols * num_trace_randomizers) randomizer algebra are host-side.
+The host<->device boundary uses numpy uint64 arrays; all device math is
+bit-exact mod-P (differential-tested in tests/test_prover_helpers.py).
 """
 
 from __future__ import annotations
@@ -27,7 +29,7 @@ from ..crypto import merkle, tip5
 from ..fields import bfe, poly, xfe
 from ..fields.bfe import P
 from ..ldt.fri import Fri, FriParameters, LdtError
-from ..ops import gf, gfx, ntt, tip5_kernel
+from ..ops import gf, gfx, kernels, ntt, tip5_kernel
 from ..tables import master as mt
 from .arithmetic_domain import Domain
 from .proof_item import ProofItem
@@ -270,25 +272,25 @@ class Prover:
         segment_polys = _interpolate_quotient_segments(
             quotient_codeword, quot_dom)
         segment_codewords = [
-            _eval_xfe_poly_on_domain(sp, ldt_dom) for sp in segment_polys]
+            _eval_xfe_poly_on_domain_arr(sp, ldt_dom) for sp in segment_polys]
 
-        # randomization (stark.rs:1302-1360)
+        # randomization (stark.rs:1302-1360); all (n, 3) u64 arrays
         n_qr = Stark.num_quotient_table_randomizers(ntr)
-        q_randomizer = _drbg_xfes(self.seed, NUM_MAIN + NUM_AUX + 1, n_qr)
-        rand_seg_polys = [list(p) for p in segment_polys] + [list(q_randomizer)]
+        q_randomizer = np.array(
+            _drbg_xfes(self.seed, NUM_MAIN + NUM_AUX + 1, n_qr), np.uint64)
+        rand_seg_polys = list(segment_polys) + [q_randomizer]
         rand_seg_codewords = segment_codewords + [
-            _eval_xfe_poly_on_domain(q_randomizer, ldt_dom)]
+            _eval_xfe_poly_on_domain_arr(q_randomizer, ldt_dom)]
         zeta_to_k = pow(ZETA, NUM_QUOTIENT_SEGMENTS, P)
         for i in range(NUM_QUOTIENT_SEGMENTS - 1, -1, -1):
             zeta_to_i = pow(ZETA, i, P)
-            addend_poly = poly.scalar_mul(
-                poly.scale(rand_seg_polys[i + 1], xfe.lift(zeta_to_k), xfe),
-                xfe.lift(P - zeta_to_i), xfe)
-            addend_codeword = _eval_xfe_poly_on_domain(addend_poly, ldt_dom)
-            rand_seg_codewords[i] = [
-                xfe.add(a, b) for a, b in
-                zip(rand_seg_codewords[i], addend_codeword)]
-            rand_seg_polys[i] = poly.add(rand_seg_polys[i], addend_poly, xfe)
+            addend_poly = _xfe_scale_poly_arr(
+                rand_seg_polys[i + 1], zeta_to_k, P - zeta_to_i)
+            addend_codeword = _eval_xfe_poly_on_domain_arr(
+                addend_poly, ldt_dom)
+            rand_seg_codewords[i] = _np_xadd(
+                rand_seg_codewords[i], addend_codeword)
+            rand_seg_polys[i] = _np_poly_add(rand_seg_polys[i], addend_poly)
 
         _trace("quot merkle", "hash")
         quot_tree = _merkle_tree_over_xfe_segment_rows(rand_seg_codewords)
@@ -299,27 +301,25 @@ class Prover:
         alpha = proof_stream.sample_scalars(1)[0]
         omega_alpha = xfe.bfe_mul(alpha, trace_dom.generator)
 
-        ood_main_curr = _ood_row_bfe(main, main_rand_coeffs, trace_dom, alpha)
+        ood_main_curr, ood_aux_curr = _ood_rows(
+            main, aux, main_rand_coeffs, aux_rand_coeffs, trace_dom, alpha)
         proof_stream.enqueue(ProofItem("OutOfDomainMainRow", ood_main_curr))
-        ood_aux_curr = _ood_row_xfe(aux, aux_rand_coeffs, trace_dom, alpha)
         proof_stream.enqueue(ProofItem("OutOfDomainAuxRow", ood_aux_curr))
-        ood_main_next = _ood_row_bfe(main, main_rand_coeffs, trace_dom,
-                                     omega_alpha)
+        ood_main_next, ood_aux_next = _ood_rows(
+            main, aux, main_rand_coeffs, aux_rand_coeffs, trace_dom,
+            omega_alpha)
         proof_stream.enqueue(ProofItem("OutOfDomainMainRow", ood_main_next))
-        ood_aux_next = _ood_row_xfe(aux, aux_rand_coeffs, trace_dom,
-                                    omega_alpha)
         proof_stream.enqueue(ProofItem("OutOfDomainAuxRow", ood_aux_next))
 
         alpha_pow_k = xfe.mod_pow(alpha, NUM_QUOTIENT_SEGMENTS)
         zeta_alpha = xfe.bfe_mul(alpha, ZETA)
         zeta_alpha_pow_k = xfe.mod_pow(zeta_alpha, NUM_QUOTIENT_SEGMENTS)
 
-        ood_quot_p = [poly.evaluate(rand_seg_polys[i], alpha_pow_k, xfe)
+        ood_quot_p = [_poly_eval_arr(rand_seg_polys[i], alpha_pow_k)
                       for i in range(NUM_QUOTIENT_SEGMENTS)]
         proof_stream.enqueue(ProofItem("OutOfDomainQuotientSegments",
                                        ood_quot_p))
-        ood_quot_r = [poly.evaluate(rand_seg_polys[i + 1], zeta_alpha_pow_k,
-                                    xfe)
+        ood_quot_r = [_poly_eval_arr(rand_seg_polys[i + 1], zeta_alpha_pow_k)
                       for i in range(NUM_QUOTIENT_SEGMENTS)]
         proof_stream.enqueue(ProofItem("OutOfDomainQuotientSegments",
                                        ood_quot_r))
@@ -332,46 +332,47 @@ class Prover:
         main_aux_poly = _weighted_sum_of_columns(
             main, aux, main_rand_coeffs, aux_rand_coeffs, trace_dom,
             weights["main"], weights["aux"])
-        main_aux_codeword = _eval_xfe_poly_on_domain(main_aux_poly, short_dom)
+        main_aux_arr = np.array(main_aux_poly, np.uint64).reshape(-1, 3)
+        main_aux_codeword = _eval_xfe_poly_on_domain_arr(
+            main_aux_arr, short_dom)
 
         w_qs = weights["quot_segments"]
         shared_poly = None
         for i in range(1, NUM_RANDOMIZED_QUOTIENT_SEGMENTS - 1):
-            term = poly.scalar_mul(rand_seg_polys[i], w_qs[i], xfe)
-            shared_poly = term if shared_poly is None else poly.add(
-                shared_poly, term, xfe)
-        poly_p = poly.add(
-            poly.scalar_mul(rand_seg_polys[0], w_qs[0], xfe), shared_poly, xfe)
-        poly_r = poly.add(
-            poly.scalar_mul(rand_seg_polys[-1], w_qs[-1], xfe), shared_poly,
-            xfe)
-        codeword_p = _eval_xfe_poly_on_domain(poly_p, short_dom)
-        codeword_r = _eval_xfe_poly_on_domain(poly_r, short_dom)
+            term = _xfe_scalar_mul_arr(rand_seg_polys[i], w_qs[i])
+            shared_poly = term if shared_poly is None else _np_poly_add(
+                shared_poly, term)
+        poly_p = _np_poly_add(
+            _xfe_scalar_mul_arr(rand_seg_polys[0], w_qs[0]), shared_poly)
+        poly_r = _np_poly_add(
+            _xfe_scalar_mul_arr(rand_seg_polys[-1], w_qs[-1]), shared_poly)
+        codeword_p = _eval_xfe_poly_on_domain_arr(poly_p, short_dom)
+        codeword_r = _eval_xfe_poly_on_domain_arr(poly_r, short_dom)
 
         deep = []
-        deep.append(_deep_codeword(
+        deep.append(_deep_codeword_arr(
             main_aux_codeword, short_dom, alpha,
-            poly.evaluate(main_aux_poly, alpha, xfe)))
-        deep.append(_deep_codeword(
+            _poly_eval_arr(main_aux_arr, alpha)))
+        deep.append(_deep_codeword_arr(
             main_aux_codeword, short_dom, omega_alpha,
-            poly.evaluate(main_aux_poly, omega_alpha, xfe)))
-        deep.append(_deep_codeword(
+            _poly_eval_arr(main_aux_arr, omega_alpha)))
+        deep.append(_deep_codeword_arr(
             codeword_p, short_dom, alpha_pow_k,
-            poly.evaluate(poly_p, alpha_pow_k, xfe)))
-        deep.append(_deep_codeword(
+            _poly_eval_arr(poly_p, alpha_pow_k)))
+        deep.append(_deep_codeword_arr(
             codeword_r, short_dom, zeta_alpha_pow_k,
-            poly.evaluate(poly_r, zeta_alpha_pow_k, xfe)))
+            _poly_eval_arr(poly_r, zeta_alpha_pow_k)))
 
         w_deep = weights["deep"]
-        combination = [xfe.ZERO] * short_dom.length
+        combination = np.zeros((short_dom.length, 3), np.uint64)
         for w, cw in zip(w_deep, deep):
-            combination = [xfe.add(acc, xfe.mul(w, v))
-                           for acc, v in zip(combination, cw)]
+            combination = _np_xadd(combination, _xfe_scalar_mul_arr(cw, w))
         if short_dom.length != L:
-            comb_coeffs = _interp_xfe_codeword(combination, short_dom)
-            combination = _eval_xfe_poly_on_domain(comb_coeffs, ldt_dom)
+            comb_coeffs = _interp_xfe_codeword_arr(combination, short_dom)
+            combination = _eval_xfe_poly_on_domain_arr(comb_coeffs, ldt_dom)
 
         _trace("FRI", "FRI")
+        combination = [tuple(int(c) for c in row) for row in combination]
         revealed_indices = fri.prove(combination, proof_stream)
 
         # ZK guard (stark.rs:644-663)
@@ -398,7 +399,7 @@ class Prover:
             "AuthenticationStructure",
             aux_tree.authentication_structure(revealed_indices)))
 
-        quot_rows = [[rand_seg_codewords[s][i]
+        quot_rows = [[tuple(int(c) for c in rand_seg_codewords[s][i])
                       for s in range(NUM_RANDOMIZED_QUOTIENT_SEGMENTS)]
                      for i in revealed_indices]
         proof_stream.enqueue(ProofItem("QuotientSegmentsElements", quot_rows))
@@ -617,27 +618,6 @@ def _deep_update(x_bfe, in_value, ood_point, ood_value):
     return xfe.mul(num, xfe.inv(den))
 
 
-def _deep_codeword(codeword, domain, ood_point, ood_value):
-    xs = domain.values()
-    denoms = [xfe.sub(xfe.lift(x), ood_point) for x in xs]
-    inv = _batch_inv_xfe(denoms)
-    return [xfe.mul(xfe.sub(v, ood_value), iv)
-            for v, iv in zip(codeword, inv)]
-
-
-def _batch_inv_xfe(values):
-    n = len(values)
-    prefix = [xfe.ONE] * (n + 1)
-    for i, v in enumerate(values):
-        prefix[i + 1] = xfe.mul(prefix[i], v)
-    acc = xfe.inv(prefix[n])
-    out = [None] * n
-    for i in range(n - 1, -1, -1):
-        out[i] = xfe.mul(prefix[i], acc)
-        acc = xfe.mul(acc, values[i])
-    return out
-
-
 # ------------------------------------------- device-assisted linear algebra
 
 def _lde_bfe_columns(table, rand_coeffs, trace_dom, eval_dom):
@@ -733,8 +713,9 @@ def _quotients_dispatch(main_q, aux_q, trace_dom, quot_dom, challenges,
     if use_device:
         return _all_quotients_combined_device(
             main_q, aux_q, trace_dom, quot_dom, challenges, quot_weights)
-    return _all_quotients_combined(
-        main_q, aux_q, trace_dom, quot_dom, challenges, quot_weights)
+    return np.asarray(_all_quotients_combined(
+        main_q, aux_q, trace_dom, quot_dom, challenges, quot_weights),
+        np.uint64)
 
 
 def _gf_sum0(v):
@@ -771,11 +752,11 @@ def _quotient_fn(Q, unit, h, gen_inv):
         next_aux = gfx.tmap(lambda a: jnp.roll(a, -unit, axis=1), aux)
         one = gf.full((), 1)
         gi = gf.full((), gen_inv)
-        init_zi = gf.batch_inverse(gf.sub(xs, one), axis=0)
+        init_zi = gf.inv(gf.sub(xs, one))
         xh = gf.pow_const(xs, h)
-        cons_zi = gf.batch_inverse(gf.sub(xh, one), axis=0)
+        cons_zi = gf.inv(gf.sub(xh, one))
         tran_zi = gf.mul(gf.sub(xs, gi), cons_zi)
-        term_zi = gf.batch_inverse(gf.sub(xs, gi), axis=0)
+        term_zi = gf.inv(gf.sub(xs, gi))
         zis = {"init": init_zi, "cons": cons_zi, "tran": tran_zi,
                "term": term_zi}
         acc = gfx.zeros((Q,))
@@ -823,8 +804,7 @@ def _all_quotients_combined_device(main_q, aux_q, trace_dom, quot_dom,
 
     fn = _quotient_fn(Q, unit, trace_dom.length, gen_inv)
     acc = fn(main, aux, ch, tuple(ws), xs)
-    out = np.stack([gf.to_u64(acc[c]) for c in range(3)])  # (3, Q)
-    return [tuple(int(out[c][i]) for c in range(3)) for i in range(Q)]
+    return np.stack([gf.to_u64(acc[c]) for c in range(3)], axis=1)  # (Q, 3)
 
 
 def _all_quotients_combined(main_lde, aux_lde, trace_dom, quot_dom,
@@ -884,123 +864,242 @@ def _xmul_obj(a, b):
     return ((d0 - d3) % P, (d1 + d3 - d4) % P, (d2 + d4) % P)
 
 
+_U64_P = np.uint64(P)
+_U64_EPS = np.uint64(0xFFFFFFFF)  # 2^64 mod P
+
+
+def _np_gadd(a, b):
+    """Vectorized Goldilocks addition on numpy uint64 (values < P)."""
+    s = a + b  # wraps mod 2^64
+    carry = (s < a).astype(np.uint64)
+    return (s % _U64_P + carry * _U64_EPS) % _U64_P
+
+
+def _np_gsub(a, b):
+    d = (a - b) % _U64_P  # wraps mod 2^64 first
+    borrow = a < b  # true value is d_wrapped - 2^64; 2^64 mod P = EPS
+    return np.where(borrow,
+                    np.where(d >= _U64_EPS, d - _U64_EPS,
+                             d + (_U64_P - _U64_EPS)),
+                    d)
+
+
+def _np_xadd(a, b):
+    """XFE addition on (..., 3) uint64 arrays."""
+    return _np_gadd(a, b)
+
+
+def _bfe_powers_np(base: int, n: int) -> np.ndarray:
+    """[1, base, base^2, ...] as numpy uint64 (host ladder)."""
+    out = np.empty(n, np.uint64)
+    acc = 1
+    for i in range(n):
+        out[i] = acc
+        acc = acc * base % P
+    return out
+
+
+def _xfe_scale_poly_arr(coeffs: np.ndarray, s: int, mul_const: int = 1):
+    """coeff_j <- mul_const * s^j * coeff_j on a (n, 3) u64 array
+    (device muls). Implements Polynomial::scale + scalar mul."""
+    n = coeffs.shape[0]
+    pws = _bfe_powers_np(s, n)
+    if mul_const != 1:
+        pws = (pws.astype(object) * mul_const % P).astype(np.uint64)
+    out = kernels.xfe_scale_poly(gfx.from_u64(coeffs), gf.from_u64(pws))
+    return gfx.to_u64(out)
+
+
+def _interp_xfe_codeword_arr(codeword: np.ndarray, domain) -> np.ndarray:
+    """iNTT of an XFE codeword (n, 3) u64 over `domain` -> (n, 3) coeffs."""
+    v = gfx.from_u64(codeword)
+    coeffs = ntt.xfe_map(ntt.intt, v, domain.offset)
+    return gfx.to_u64(coeffs)
+
+
 def _interp_xfe_codeword(codeword, domain):
     """iNTT of an XFE codeword over `domain` -> coefficient list."""
     arr = np.array(codeword, np.uint64)  # (n, 3)
-    v = gfx.from_u64(arr)
-    coeffs = ntt.xfe_map(ntt.intt, v, domain.offset)
-    out = gfx.to_u64(coeffs)  # (n, 3)
+    out = _interp_xfe_codeword_arr(arr, domain)
     return [tuple(int(c) for c in row) for row in out]
 
 
-def _interpolate_quotient_segments(quotient_codeword, quot_dom):
-    coeffs = _interp_xfe_codeword(quotient_codeword, quot_dom)
-    segments = []
-    for s in range(NUM_QUOTIENT_SEGMENTS):
-        segments.append(coeffs[s::NUM_QUOTIENT_SEGMENTS])
-    return segments
+def _interpolate_quotient_segments(quotient_codeword: np.ndarray, quot_dom):
+    """Segment k gets coefficients k, k+4, k+8, ... (stark.rs quotient
+    segmentation). Input/output numpy (Q, 3) / list of (Q/4, 3)."""
+    coeffs = _interp_xfe_codeword_arr(quotient_codeword, quot_dom)
+    return [coeffs[s::NUM_QUOTIENT_SEGMENTS].copy()
+            for s in range(NUM_QUOTIENT_SEGMENTS)]
+
+
+def _poly_eval_arr(coeffs: np.ndarray, x) -> tuple:
+    """Horner-evaluate a (n, 3) u64 XFE coefficient array at XFE x."""
+    acc = xfe.ZERO
+    for k in range(coeffs.shape[0] - 1, -1, -1):
+        acc = xfe.add(xfe.mul(acc, x), tuple(int(c) for c in coeffs[k]))
+    return acc
+
+
+def _np_poly_add(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Add two (n, 3) u64 XFE coefficient arrays (unequal lengths ok)."""
+    if len(a) < len(b):
+        a, b = b, a
+    out = a.copy()
+    out[:len(b)] = _np_xadd(a[:len(b)], b)
+    return out
+
+
+def _xfe_scalar_mul_arr(coeffs: np.ndarray, w) -> np.ndarray:
+    """w * coeffs for an XFE scalar w on a (n, 3) u64 array (device)."""
+    out = kernels.xfe_scalar_mul(gfx.from_u64(coeffs), gfx.full((), tuple(w)))
+    return gfx.to_u64(out)
+
+
+@functools.lru_cache(maxsize=16)
+def _domain_values_u64_cached(length, offset):
+    return np.array(Domain(length, offset).values(), np.uint64)
+
+
+def _domain_values_u64(domain) -> np.ndarray:
+    return _domain_values_u64_cached(domain.length, domain.offset)
+
+
+def _deep_codeword_arr(cw: np.ndarray, domain, ood_point, ood_value):
+    """(cw - ood_value) / (x - ood_point) over `domain`, on device.
+    cw: (n, 3) u64; returns (n, 3) u64 (stark.rs deep codeword)."""
+    xs = gf.from_u64(_domain_values_u64(domain))
+    out = kernels.deep_codeword(gfx.from_u64(cw), xs,
+                                gfx.full((), tuple(ood_point)),
+                                gfx.full((), tuple(ood_value)))
+    return gfx.to_u64(out)
+
+
+def _eval_xfe_poly_on_domain_arr(coeffs, domain) -> np.ndarray:
+    """Evaluate an XFE coefficient list over `domain` (device NTT); handles
+    polynomials longer than the domain by batching the chunks
+    (arithmetic_domain.rs:141-170). Returns numpy uint64 (n, 3)."""
+    n = domain.length
+    if not isinstance(coeffs, np.ndarray):
+        coeffs = np.array(coeffs or [xfe.ZERO], np.uint64).reshape(-1, 3)
+    nz = np.nonzero(coeffs.any(axis=1))[0]
+    coeffs = coeffs[:nz[-1] + 1] if nz.size else coeffs[:1]
+    num_chunks = (len(coeffs) + n - 1) // n
+    arr = np.zeros((num_chunks * n, 3), np.uint64)
+    arr[:len(coeffs)] = coeffs
+    # (chunks, 3, n): batch all chunks through one device NTT per component
+    chunks = arr.reshape(num_chunks, n, 3).transpose(0, 2, 1)
+    v = tuple(gf.from_u64(chunks[:, c, :]) for c in range(3))
+    ev = tuple(ntt.ntt(v[c], domain.offset) for c in range(3))
+    if num_chunks == 1:
+        return np.stack([gf.to_u64(ev[c])[0] for c in range(3)], axis=1)
+    # values = sum_k offset^(k*n) * chunk_k(x)
+    scales = np.array([pow(domain.offset, k * n, P)
+                       for k in range(num_chunks)], np.uint64)
+    sc = gf.from_u64(scales)
+    acc = tuple(gf.mul(ev[c], gf.tmap(lambda a: a[:, None], sc))
+                for c in range(3))
+    out = tuple(_gf_sum0(acc[c]) for c in range(3))
+    return np.stack([gf.to_u64(out[c]) for c in range(3)], axis=1)
 
 
 def _eval_xfe_poly_on_domain(coeffs, domain):
-    """Evaluate an XFE coefficient list over `domain` (device NTT); handles
-    polynomials longer than the domain by chunking
-    (arithmetic_domain.rs:141-170). Returns list of XFE tuples."""
-    n = domain.length
-    coeffs = poly.trim(coeffs, xfe) or [xfe.ZERO]
-    values = [xfe.ZERO] * n
-    for k in range(0, len(coeffs), n):
-        chunk = coeffs[k:k + n]
-        chunk = chunk + [xfe.ZERO] * (n - len(chunk))
-        arr = np.array(chunk, np.uint64)  # (n, 3)
-        ev = gfx.to_u64(ntt.xfe_map(ntt.ntt, gfx.from_u64(arr),
-                                    domain.offset))
-        scale = pow(domain.offset, k, P)
-        for i in range(n):
-            e = tuple(int(c) for c in ev[i])
-            if scale != 1:
-                e = xfe.bfe_mul(e, scale)
-            values[i] = xfe.add(values[i], e)
-    return values
+    """List-of-XFE-tuples wrapper around _eval_xfe_poly_on_domain_arr."""
+    out = _eval_xfe_poly_on_domain_arr(coeffs, domain)
+    return [tuple(int(c) for c in row) for row in out]
 
 
-def _ood_row_bfe(table, rand_coeffs, trace_dom, alpha):
-    """Barycentric OOD row incl. randomizers (master_table.rs:348-390)."""
-    columns_ = [[int(v) for v in table[:, i]] for i in range(table.shape[1])]
-    rand = [[xfe.lift(int(c)) for c in rc] for rc in rand_coeffs]
-    return _ood_row(columns_, rand, trace_dom, alpha, lift=True)
+def _ood_rows(main, aux, main_rand, aux_rand, trace_dom, alpha):
+    """Barycentric OOD rows for BOTH tables at one point, incl. the
+    randomizer-polynomial contribution (master_table.rs:348-390).
 
-
-def _ood_row_xfe(aux, rand_coeffs, trace_dom, alpha):
-    cols = []
-    for i in range(aux.shape[1]):
-        cols.append([tuple(int(c) for c in aux[j, i]) for j in
-                     range(aux.shape[0])])
-    rand = [[tuple(c) for c in rc] for rc in rand_coeffs]
-    return _ood_row(cols, rand, trace_dom, alpha, lift=False)
-
-
-def _ood_row(columns_, rand_polys, trace_dom, alpha, lift):
-    ds = trace_dom.values()
-    shifts = [xfe.sub(alpha, xfe.lift(d)) for d in ds]
-    shift_invs = _batch_inv_xfe(shifts)
-    dods = [xfe.bfe_mul(inv, d) for d, inv in zip(ds, shift_invs)]
-    denom = xfe.ZERO
-    for v in dods:
-        denom = xfe.add(denom, v)
+    Column dot products run on device (kernels.ood_column_dot); the
+    randomizer Horner evaluation (O(num_cols * ntr)) is vectorized host
+    object math. Returns (main_row, aux_row) as lists of XFE tuples."""
+    ds = gf.from_u64(_domain_values_u64(trace_dom))
+    alpha_g = gfx.full((), tuple(alpha))
+    dods, denom_parts = kernels.ood_shift_inverses(ds, alpha_g)
+    main_cols = gf.from_u64(main.T.astype(np.uint64))
+    aux_cols = tuple(gf.from_u64(aux[:, :, c].T.astype(np.uint64))
+                     for c in range(3))
+    num_main, num_aux = kernels.ood_column_dot(main_cols, aux_cols, dods)
+    nm = np.stack([gf.to_u64(num_main[c]) for c in range(3)], axis=1)
+    na = np.stack([gf.to_u64(num_aux[c]) for c in range(3)], axis=1)
+    denom = tuple(int(gf.to_u64(denom_parts[c])) for c in range(3))
     denom_inv = xfe.inv(denom)
-    zerofier_at_alpha = trace_dom.zerofier_at(alpha)
+    z_at_alpha = trace_dom.zerofier_at(alpha)
 
-    out = []
-    for col, rand in zip(columns_, rand_polys):
-        num = xfe.ZERO
-        if lift:
-            for c, w in zip(col, dods):
-                num = xfe.add(num, xfe.bfe_mul(w, c))
-        else:
-            for c, w in zip(col, dods):
-                num = xfe.add(num, xfe.mul(w, c))
-        r_at_alpha = xfe.ZERO
-        for c in reversed(rand):
-            c_x = c if isinstance(c, tuple) else xfe.lift(c)
-            r_at_alpha = xfe.add(xfe.mul(r_at_alpha, alpha), c_x)
-        out.append(xfe.add(xfe.mul(num, denom_inv),
-                           xfe.mul(zerofier_at_alpha, r_at_alpha)))
-    return out
+    mr = np.array(main_rand, object)  # (num_main, ntr) of ints
+    zero = np.zeros_like(mr)
+    r_main = _horner_at_point((mr, zero, zero), alpha)
+    ar = np.array(aux_rand, object)  # (num_aux, ntr, 3)
+    r_aux = _horner_at_point(tuple(ar[:, :, c] for c in range(3)), alpha)
+    return (_combine_ood(nm, denom_inv, z_at_alpha, r_main),
+            _combine_ood(na, denom_inv, z_at_alpha, r_aux))
+
+
+def _horner_at_point(coeffs3, point):
+    """Vectorized Horner: coeffs3 = 3 object arrays (m, ntr); returns
+    3 object arrays (m,) with the per-row polynomial value at XFE point."""
+    p = tuple(np.array(c, object) for c in point)
+    m, ntr = coeffs3[0].shape
+    acc = tuple(np.zeros(m, object) for _ in range(3))
+    for k in range(ntr - 1, -1, -1):
+        acc = _xmul_obj(acc, p)
+        acc = tuple((acc[c] + coeffs3[c][:, k]) % P for c in range(3))
+    return acc
+
+
+def _combine_ood(num_u64, denom_inv, z_at_alpha, r3):
+    """num/denom + Z(alpha) * r, per row; num_u64 (m, 3)."""
+    n3 = tuple(num_u64[:, c].astype(object) for c in range(3))
+    t1 = _xmul_obj(n3, tuple(np.array(c, object) for c in denom_inv))
+    t2 = _xmul_obj(r3, tuple(np.array(c, object) for c in z_at_alpha))
+    out = tuple((t1[c] + t2[c]) % P for c in range(3))
+    m = num_u64.shape[0]
+    return [tuple(int(out[c][i]) for c in range(3)) for i in range(m)]
 
 
 def _weighted_sum_of_columns(main, aux, main_rand, aux_rand, trace_dom,
                              w_main, w_aux):
-    """master_table.rs:512-542 for main and aux tables combined."""
-    h = main.shape[0]
-    main_obj = main.astype(object)
-    aux_obj = [aux[:, :, c].astype(object) for c in range(3)]
-    # weighted sum per row: iterate columns (object math), vectorized rows
-    acc = tuple(np.zeros(h, object) for _ in range(3))
-    for i in range(main.shape[1]):
-        w = w_main[i]
-        col = main_obj[:, i]
-        acc = tuple((acc[c] + col * w[c]) % P for c in range(3))
-    for j in range(aux.shape[1]):
-        w = w_aux[j]
-        col = tuple(aux_obj[c][:, j] for c in range(3))
-        prod = _xmul_obj(col, tuple(np.array(c, object) for c in w))
-        acc = tuple((acc[c] + prod[c]) % P for c in range(3))
-    values = [tuple(int(acc[c][r]) for c in range(3)) for r in range(h)]
-    trace_poly = _interp_xfe_codeword(values, trace_dom)
+    """master_table.rs:512-542 for main and aux tables combined.
 
-    # randomizer contribution: zerofier * sum_i w_i * r_i
-    rand_sum = [xfe.ZERO] * max(len(main_rand[0]), 1)
-    for i, rc in enumerate(main_rand):
-        w = w_main[i]
-        for k, c in enumerate(rc):
-            rand_sum[k] = xfe.add(rand_sum[k], xfe.bfe_mul(w, c))
-    for j, rc in enumerate(aux_rand):
-        w = w_aux[j]
-        for k, c in enumerate(rc):
-            rand_sum[k] = xfe.add(rand_sum[k], xfe.mul(w, tuple(c)))
-    # zerofier: x^h - offset^h
+    Column sums and the trace interpolation run on device
+    (kernels.weighted_column_sum); the randomizer-polynomial contribution
+    (O(num_cols * num_trace_randomizers)) stays in host object math.
+    Returns a (h + ntr, 3) uint64 coefficient array."""
+    h = main.shape[0]
+    wm = np.array(w_main, np.uint64)  # (num_main, 3)
+    wa = np.array(w_aux, np.uint64)
+    main_cols = gf.from_u64(main.T.astype(np.uint64))
+    aux_cols = tuple(gf.from_u64(aux[:, :, c].T.astype(np.uint64))
+                     for c in range(3))
+    values = kernels.weighted_column_sum(
+        main_cols, aux_cols,
+        tuple(gf.from_u64(wm[:, c]) for c in range(3)),
+        tuple(gf.from_u64(wa[:, c]) for c in range(3)))
+    coeffs = ntt.xfe_map(ntt.intt, values, trace_dom.offset)
+    trace_poly = np.stack([gf.to_u64(coeffs[c]) for c in range(3)], axis=1)
+
+    # randomizer contribution: zerofier * sum_i w_i * r_i (host, object)
+    ntr = len(main_rand[0])
+    mr = np.array(main_rand, object)  # (num_main, ntr)
+    wmo = wm.astype(object)
+    rand_sum = [ (mr * wmo[:, c:c + 1] % P).sum(axis=0) % P
+                 for c in range(3)]  # 3 x (ntr,)
+    ar = np.array(aux_rand, object)  # (num_aux, ntr, 3)
+    wao = wa.astype(object)
+    prod = _xmul_obj(tuple(ar[:, :, c] for c in range(3)),
+                     tuple(wao[:, c:c + 1] for c in range(3)))
+    rand_sum = np.stack(
+        [(rand_sum[c] + prod[c].sum(axis=0)) % P for c in range(3)],
+        axis=1).astype(np.uint64)  # (ntr, 3)
+
+    # contribution = (x^h - offset^h) * rand_poly
     off_h = pow(trace_dom.offset, h, P)
-    shifted = [xfe.ZERO] * h + rand_sum
-    scaled = [xfe.bfe_mul(c, off_h) for c in rand_sum]
-    contribution = poly.sub(shifted, scaled, xfe)
-    return poly.add(trace_poly, contribution, xfe)
+    scaled = (rand_sum.astype(object) * off_h % P).astype(np.uint64)
+    contribution = np.zeros((h + ntr, 3), np.uint64)
+    contribution[h:h + ntr] = rand_sum
+    contribution[:ntr] = _np_gsub(contribution[:ntr], scaled)
+    return _np_poly_add(
+        np.concatenate([trace_poly, np.zeros((ntr, 3), np.uint64)]),
+        contribution)
