@@ -20,12 +20,24 @@ def main():
     from triton_vm_tpu import Claim, Stark, PublicInput, VM, profiler
     from triton_vm_tpu.models import example_programs as ex
 
-    program = ex.fibonacci()
-    # 85 loop iterations put the padded height at 2^10 (BASELINE config 1)
-    fib_input = 85
-    aet, output = VM.trace_execution(program, PublicInput([fib_input]))
+    # BASELINE.md benchmark configs; select with TVM_BENCH
+    configs = {
+        # 85 loop iterations put the padded height at 2^10 (config 1)
+        "fib_1024": (ex.fibonacci, [85], "prove_fib_padded_height_1024"),
+        "factorial_4096": (ex.factorial, [500],
+                           "prove_factorial_padded_height_4096"),
+        "hash_chain": (ex.hash_chain, [200],
+                       "prove_hash_chain_hash_table_dominated"),
+    }
+    which = os.environ.get("TVM_BENCH", "fib_1024")
+    if which not in configs:
+        raise SystemExit(f"unknown TVM_BENCH={which!r}; "
+                         f"choose from {sorted(configs)}")
+    make_program, inputs, metric = configs[which]
+    program = make_program()
+    aet, output = VM.trace_execution(program, PublicInput(inputs))
     claim = (Claim.about_program(program)
-             .with_input([fib_input]).with_output(output))
+             .with_input(inputs).with_output(output))
     stark = Stark()
 
     if os.environ.get("TVM_PROFILE") == "1":
@@ -41,7 +53,7 @@ def main():
     assert stark.verify(claim, proof)
 
     print(json.dumps({
-        "metric": "prove_fib_padded_height_1024_wall_clock",
+        "metric": metric + "_wall_clock",
         "value": round(prove_seconds, 3),
         "unit": "s",
         "vs_baseline": 0.0,

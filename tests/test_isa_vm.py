@@ -167,3 +167,21 @@ def test_assertion_error_reports_state():
     prog = Program.from_code("push 0 assert halt")
     with pytest.raises(VMError):
         VM.run(prog)
+
+
+def test_vm_profile_spans_and_heights():
+    """VM.profile mirrors vm.rs:208-242: spans per `call`, heights add up."""
+    from triton_vm_tpu import VM, PublicInput
+    from triton_vm_tpu.models import example_programs as ex
+
+    out, prof = VM.profile(ex.fibonacci(), PublicInput([10]))
+    assert list(out) == [89]
+    assert prof.padded_height == 512
+    labels = [line.label for line in prof.profile]
+    assert "fib_loop" in labels
+    line = prof.profile[labels.index("fib_loop")]
+    contrib = line.table_height_contributions
+    assert contrib.processor > 0
+    assert prof.total.processor >= contrib.processor
+    report = str(prof)
+    assert "fib_loop" in report and "padded height: 512" in report

@@ -86,7 +86,9 @@ def weighted_sum_OLD(main, aux, main_rand, aux_rand, trace_dom, w_main, w_aux):
         prod = pr._xmul_obj(col, tuple(np.array(c, object) for c in w))
         acc = tuple((acc[c] + prod[c]) % P for c in range(3))
     values = [tuple(int(acc[c][r]) for c in range(3)) for r in range(h)]
-    trace_poly = pr._interp_xfe_codeword(values, trace_dom)
+    trace_poly = [tuple(int(c) for c in row) for row in
+                  pr._interp_xfe_codeword_arr(
+                      np.array(values, np.uint64), trace_dom)]
     rand_sum = [xfe.ZERO] * max(len(main_rand[0]), 1)
     for i, rc in enumerate(main_rand):
         w = w_main[i]

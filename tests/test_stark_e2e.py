@@ -37,3 +37,24 @@ def test_prove_and_verify_fibonacci():
     bad[len(bad) // 2] = (bad[len(bad) // 2] + 1) % (2**64 - 2**32 + 1)
     with pytest.raises(Exception):
         stark.verify(claim, Proof(bad))
+
+
+@pytest.mark.slow
+def test_prove_and_verify_with_stir_ldt():
+    """Full STARK pipeline with STIR as the low-degree test
+    (stark.rs LdtChoice::Stir)."""
+    import triton_vm_tpu as tvm
+    from triton_vm_tpu.models import example_programs as ex
+
+    program = ex.fibonacci()
+    aet, output = tvm.VM.trace_execution(program, tvm.PublicInput([7]))
+    claim = (tvm.Claim.about_program(program)
+             .with_input([7]).with_output(output))
+    stark = tvm.Stark(ldt_choice="stir")
+    proof = stark.prove(claim, aet, seed=bytes(range(32)))
+    assert stark.verify(claim, proof)
+
+    # FRI stark must reject a STIR proof (parameter mismatch)
+    fri_stark = tvm.Stark(ldt_choice="fri")
+    with pytest.raises(Exception):
+        assert not fri_stark.verify(claim, proof)

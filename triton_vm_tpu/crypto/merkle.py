@@ -30,15 +30,23 @@ class MerkleTree:
             leaves = leaf_digests
         n = gf.shape(leaves)[-1]
         assert n >= 1 and (n & (n - 1)) == 0, "leaf count must be a power of 2"
+        # one dispatch for the whole tree, one readback for all layers
+        flat = gf.to_u64(tip5_kernel.merkle_flat_jit(leaves))
+        self._init_from_flat(flat, n)
+
+    @classmethod
+    def from_flat(cls, flat: np.ndarray, num_leafs: int) -> "MerkleTree":
+        """Adopt a precomputed heap-ordered layer array (5, 2n-1) u64
+        (tip5_kernel.merkle_flat / commit_rows output)."""
+        self = cls.__new__(cls)
+        self._init_from_flat(np.asarray(flat, np.uint64), num_leafs)
+        return self
+
+    def _init_from_flat(self, flat, n):
         self.num_leafs = n
-        layers = [leaves]
-        while gf.shape(layers[-1])[-1] > 1:
-            cur = layers[-1]
-            left = gf.tmap(lambda x: x[:, 0::2], cur)
-            right = gf.tmap(lambda x: x[:, 1::2], cur)
-            layers.append(tip5_kernel._hash_pairs_jit(left, right))
-        # host copies, layer k has 2^k nodes; layers_host[0] = root layer
-        self._layers = [np.asarray(gf.to_u64(l)).T for l in reversed(layers)]
+        # layer k occupies heap nodes [2^k, 2^(k+1)); root layer is k=0
+        self._layers = [flat[:, (1 << k) - 1:(2 << k) - 1].T
+                        for k in range((2 * n - 1).bit_length())]
 
     def node(self, index: int) -> tuple:
         """Digest at 1-based heap node index."""

@@ -138,6 +138,32 @@ def _hash_pairs_jit(left, right):
     return hash_pairs(left, right)
 
 
+def merkle_flat(leaves):
+    """All Merkle layers in one graph, heap order: gf (5, n) ->
+    gf (5, 2n-1); flat[:, i-1] is heap node i (root at i=1).
+
+    Unrolled log2(n) hash_pairs layers so the whole tree is ONE device
+    dispatch with ONE small readback — on tunneled backends per-dispatch
+    latency dominates the per-layer eager loop."""
+    layers = [leaves]
+    while gf.shape(layers[-1])[-1] > 1:
+        cur = layers[-1]
+        left = gf.tmap(lambda x: x[:, 0::2], cur)
+        right = gf.tmap(lambda x: x[:, 1::2], cur)
+        layers.append(hash_pairs(left, right))
+    return gf.concatenate(list(reversed(layers)), axis=-1)
+
+
+merkle_flat_jit = jax.jit(merkle_flat)
+
+
+@jax.jit
+def commit_rows(rows):
+    """Row digests + full Merkle tree in one dispatch:
+    gf (B, n) rows -> gf (5, 2B-1) heap-ordered tree."""
+    return merkle_flat(sponge_absorb_rows(rows))
+
+
 @jax.jit
 def sponge_absorb_rows(rows):
     """Hash B rows of n field elements each (variable-length Tip5 sponge,

@@ -36,10 +36,9 @@ ITEM_SPECS = {
     "FriResponse": (12, ("struct", [("queried_leaves", ("vec", "xfe")),
                                     ("auth_structure", ("vec", "digest"))]),
                     False),
-    # STIR support: reserved discriminant; payload defined with the STIR
-    # implementation
-    "StirResponse": (13, ("struct", [("ood_answers", ("vec", "xfe")),
-                                     ("queried_leaves", ("vec", ("vec", "xfe"))),
+    # stir.rs:150-169: revealed k-element leaf stacks + auth structure
+    "StirResponse": (13, ("struct", [("queried_leaves",
+                                      ("vec", ("vec", "xfe"))),
                                      ("auth_structure", ("vec", "digest"))]),
                      False),
 }

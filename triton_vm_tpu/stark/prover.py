@@ -16,7 +16,6 @@ bit-exact mod-P (differential-tested in tests/test_prover_helpers.py).
 from __future__ import annotations
 
 import functools
-import hashlib
 
 import numpy as np
 
@@ -77,26 +76,14 @@ class VerificationError(RuntimeError):
 # ------------------------------------------------------ deterministic RNG
 
 def _drbg_bfes(seed: bytes, offset: int, n: int) -> list[int]:
-    """Deterministic BFE stream from a 32-byte seed and an offset,
-    mirroring the reference's per-column seed offsetting
-    (master_table.rs:630-662).
+    """Deterministic BFE stream from a 32-byte seed and an offset:
+    rand::StdRng (ChaCha12) seeded with the reference's per-purpose
+    seed-offset scheme (master_table.rs:631-663, trace randomizer
+    generation at :423-434). See utils/stdrng.py; AUDIT.md item 1 tracks
+    validation against Rust-generated vectors."""
+    from ..utils.stdrng import ChaCha12Rng
 
-    AUDIT(bit-exactness): the reference uses rand's StdRng (ChaCha12) with
-    twenty-first's BFE distribution; replicate for transcript parity with
-    Rust-seeded test vectors."""
-    seed = _offset_seed(seed, offset)
-    out = []
-    counter = 0
-    while len(out) < n:
-        block = hashlib.blake2b(seed + counter.to_bytes(8, "little"),
-                                digest_size=64).digest()
-        for i in range(0, 64, 8):
-            v = int.from_bytes(block[i:i + 8], "little")
-            out.append(v % P)
-            if len(out) == n:
-                break
-        counter += 1
-    return out
+    return ChaCha12Rng(_offset_seed(seed, offset)).random_bfes(n)
 
 
 def _offset_seed(seed: bytes, offset: int) -> bytes:
@@ -114,10 +101,13 @@ def _drbg_xfes(seed: bytes, offset: int, n: int) -> list[tuple]:
 class Stark:
     ZETA = ZETA
 
-    def __init__(self, security_level=160, log2_ldt_expansion_factor=2):
+    def __init__(self, security_level=160, log2_ldt_expansion_factor=2,
+                 ldt_choice=None):
         assert log2_ldt_expansion_factor > 0
+        assert ldt_choice in (None, "fri", "stir")
         self.security_level = security_level
         self.log2_ldt_expansion_factor = log2_ldt_expansion_factor
+        self.ldt_choice = ldt_choice
 
     # -- degree bookkeeping ------------------------------------------------
 
@@ -173,8 +163,41 @@ class Stark:
                 return fri
         raise ProvingError("no suitable FRI parameters found")
 
+    def stir(self, padded_height: int) -> "Stir":
+        """Derive a usable STIR instance (stark.rs:2007-2060): k = 4, high
+        degree bound grown until the initial domain covers the randomized
+        trace times the expansion factor."""
+        from ..ldt.stir import Stir as StirLdt
+        from ..ldt.stir import StirParameters
+
+        log2_ph = max(padded_height, 1).bit_length() - 1
+        log2_bound = log2_ph
+        for _ in range(33):
+            log2_bound += 1
+            stir = StirLdt(StirParameters(
+                security_level=self.security_level,
+                log2_folding_factor=2,
+                log2_initial_expansion_factor=self.log2_ldt_expansion_factor,
+                log2_high_degree_bound=log2_bound))
+            ntr = self.num_trace_randomizers(stir)
+            rand_len = self.randomized_trace_len(padded_height, ntr)
+            if stir.initial_domain().length >= rand_len * (
+                    1 << self.log2_ldt_expansion_factor):
+                return stir
+        raise ProvingError("no suitable STIR parameters found")
+
+    def ldt(self, padded_height: int):
+        """Pick the low-degree test (stark.rs:1942-1958): FRI below padded
+        height 2^16 (proven regime), STIR above; `ldt_choice` overrides."""
+        choice = self.ldt_choice
+        if choice is None:
+            log2_ph = max(padded_height, 1).bit_length() - 1
+            choice = "fri" if log2_ph < 16 else "stir"
+        return self.fri(padded_height) if choice == "fri" \
+            else self.stir(padded_height)
+
     def derive_domains(self, padded_height):
-        fri = self.fri(padded_height)
+        fri = self.ldt(padded_height)
         ntr = self.num_trace_randomizers(fri)
         rand_len = self.randomized_trace_len(padded_height, ntr)
         max_deg = self.max_degree(padded_height, ntr)
@@ -228,12 +251,15 @@ class Prover:
         main_rand_coeffs = [
             _drbg_bfes(self.seed, i, ntr) for i in range(NUM_MAIN)]
         _trace("main LDE", "LDE")
-        main_lde = _lde_bfe_columns(main, main_rand_coeffs, trace_dom,
-                                    eval_dom)
-        main_ldt = main_lde[:, :: E // L] if E != L else main_lde
+        zvals_dev = gf.from_u64(_trace_zerofier_values(trace_dom, eval_dom))
+        main_lde_dev, main_flat = _commit_bfe_fn(
+            h, E, L, eval_dom.offset, ntr, NUM_MAIN)(
+                gf.from_u64(main.T.astype(np.uint64)),
+                gf.from_u64(np.array(main_rand_coeffs, np.uint64)),
+                zvals_dev)
 
         _trace("main merkle", "hash")
-        main_tree = _merkle_tree_over_bfe_rows(main_ldt)
+        main_tree = merkle.MerkleTree.from_flat(gf.to_u64(main_flat), L)
         proof_stream.enqueue(ProofItem("MerkleRoot", main_tree.root()))
         challenges = Challenges(proof_stream.sample_scalars(SAMPLE_COUNT),
                                 claim)
@@ -248,11 +274,15 @@ class Prover:
         aux_rand_coeffs = [
             _drbg_xfes(self.seed, NUM_MAIN + i, ntr) for i in range(NUM_AUX)]
         _trace("aux LDE", "LDE")
-        aux_lde = _lde_xfe_columns(aux, aux_rand_coeffs, trace_dom, eval_dom)
-        aux_ldt = aux_lde[:, :: E // L] if E != L else aux_lde
+        rc = np.array(aux_rand_coeffs, np.uint64)  # (NUM_AUX, ntr, 3)
+        aux_lde_dev, aux_flat = _commit_xfe_fn(
+            h, E, L, eval_dom.offset, ntr, NUM_AUX)(
+                tuple(gf.from_u64(aux[:, :, c].T.copy()) for c in range(3)),
+                tuple(gf.from_u64(rc[:, :, c]) for c in range(3)),
+                zvals_dev)
 
         _trace("aux merkle", "hash")
-        aux_tree = _merkle_tree_over_xfe_rows(aux_ldt)
+        aux_tree = merkle.MerkleTree.from_flat(gf.to_u64(aux_flat), L)
         proof_stream.enqueue(ProofItem("MerkleRoot", aux_tree.root()))
 
         initial_quot_weight = proof_stream.sample_scalars(1)[0]
@@ -262,38 +292,42 @@ class Prover:
 
         # --------------------------------------------- quotient segments
         stride = E // Q
-        main_q = main_lde[:, ::stride] if stride != 1 else main_lde
-        aux_q = aux_lde[:, :, ::stride] if stride != 1 else aux_lde
         _trace("quotients", "quotient")
-        quotient_codeword = _quotients_dispatch(
-            main_q, aux_q, trace_dom, quot_dom, challenges, quot_weights)
+        if _use_device_quotients():
+            main_q = (gf.tmap(lambda a: a[:, ::stride], main_lde_dev)
+                      if stride != 1 else main_lde_dev)
+            aux_q = (gfx.tmap(lambda a: a[:, ::stride], aux_lde_dev)
+                     if stride != 1 else aux_lde_dev)
+            quotient_dev = _all_quotients_combined_device(
+                main_q, aux_q, trace_dom, quot_dom, challenges,
+                quot_weights, return_device=True)
+        else:
+            main_lde_np = gf.to_u64(main_lde_dev)
+            aux_lde_np = np.stack(
+                [gf.to_u64(aux_lde_dev[c]) for c in range(3)])
+            main_q = main_lde_np[:, ::stride] if stride != 1 else main_lde_np
+            aux_q = (aux_lde_np[:, :, ::stride] if stride != 1
+                     else aux_lde_np)
+            quotient_np = np.asarray(_all_quotients_combined(
+                main_q, aux_q, trace_dom, quot_dom, challenges,
+                quot_weights), np.uint64)
+            quotient_dev = gfx.from_u64(quotient_np)
 
+        # ------------------------------ segmentify + randomize + commit
+        # (stark.rs:1128-1360) — one fused device dispatch
         _trace("segmentify", "quotient")
-        segment_polys = _interpolate_quotient_segments(
-            quotient_codeword, quot_dom)
-        segment_codewords = [
-            _eval_xfe_poly_on_domain_arr(sp, ldt_dom) for sp in segment_polys]
-
-        # randomization (stark.rs:1302-1360); all (n, 3) u64 arrays
         n_qr = Stark.num_quotient_table_randomizers(ntr)
         q_randomizer = np.array(
             _drbg_xfes(self.seed, NUM_MAIN + NUM_AUX + 1, n_qr), np.uint64)
-        rand_seg_polys = list(segment_polys) + [q_randomizer]
-        rand_seg_codewords = segment_codewords + [
-            _eval_xfe_poly_on_domain_arr(q_randomizer, ldt_dom)]
-        zeta_to_k = pow(ZETA, NUM_QUOTIENT_SEGMENTS, P)
-        for i in range(NUM_QUOTIENT_SEGMENTS - 1, -1, -1):
-            zeta_to_i = pow(ZETA, i, P)
-            addend_poly = _xfe_scale_poly_arr(
-                rand_seg_polys[i + 1], zeta_to_k, P - zeta_to_i)
-            addend_codeword = _eval_xfe_poly_on_domain_arr(
-                addend_poly, ldt_dom)
-            rand_seg_codewords[i] = _np_xadd(
-                rand_seg_codewords[i], addend_codeword)
-            rand_seg_polys[i] = _np_poly_add(rand_seg_polys[i], addend_poly)
+        polys_dev, cws_dev, quot_flat = _segmentify_fn(
+            Q, L, n_qr, quot_dom.offset, ldt_dom.offset)(
+                quotient_dev, gfx.from_u64(q_randomizer))
+        # small host copies of the 5 segment polynomials (for the OOD
+        # Horner evaluations and the DEEP combination polynomials)
+        rand_seg_polys = [gfx.to_u64(p) for p in polys_dev]
 
         _trace("quot merkle", "hash")
-        quot_tree = _merkle_tree_over_xfe_segment_rows(rand_seg_codewords)
+        quot_tree = merkle.MerkleTree.from_flat(gf.to_u64(quot_flat), L)
         proof_stream.enqueue(ProofItem("MerkleRoot", quot_tree.root()))
 
         # ------------------------------------------------------- OOD rows
@@ -383,25 +417,37 @@ class Prover:
             if zk in bad or zk2 in bad:
                 raise ProvingError("zero-knowledge violation")
 
-        # -------------------------------------------------- open trace rows
-        main_rows = [[int(v) for v in main_ldt[:, i]]
-                     for i in revealed_indices]
+        # ------------------------------------------------ open trace rows
+        # gather only the revealed rows from the device-resident codewords
+        idx = np.array(revealed_indices, np.int64)
+        main_ldt_dev = (gf.tmap(lambda a: a[:, ::E // L], main_lde_dev)
+                        if E != L else main_lde_dev)
+        sel = gf.to_u64(gf.take(main_ldt_dev, idx, axis=1))  # (NM, k)
+        main_rows = [[int(v) for v in sel[:, j]]
+                     for j in range(len(revealed_indices))]
         proof_stream.enqueue(ProofItem("MasterMainTableRows", main_rows))
         proof_stream.enqueue(ProofItem(
             "AuthenticationStructure",
             main_tree.authentication_structure(revealed_indices)))
 
-        # aux_ldt layout: (3, NUM_AUX, L) -> per row list of XFE tuples
-        aux_rows = [[tuple(int(aux_ldt[c, j, i]) for c in range(3))
-                     for j in range(NUM_AUX)] for i in revealed_indices]
+        aux_ldt_dev = (gfx.tmap(lambda a: a[:, ::E // L], aux_lde_dev)
+                       if E != L else aux_lde_dev)
+        sel3 = [gf.to_u64(gf.take(aux_ldt_dev[c], idx, axis=1))
+                for c in range(3)]  # 3 x (NA, k)
+        aux_rows = [[tuple(int(sel3[c][j, i]) for c in range(3))
+                     for j in range(NUM_AUX)]
+                    for i in range(len(revealed_indices))]
         proof_stream.enqueue(ProofItem("MasterAuxTableRows", aux_rows))
         proof_stream.enqueue(ProofItem(
             "AuthenticationStructure",
             aux_tree.authentication_structure(revealed_indices)))
 
-        quot_rows = [[tuple(int(c) for c in rand_seg_codewords[s][i])
+        qsel = [np.stack([gf.to_u64(gf.take(cws_dev[s][c], idx, axis=0))
+                          for c in range(3)], axis=1)
+                for s in range(NUM_RANDOMIZED_QUOTIENT_SEGMENTS)]
+        quot_rows = [[tuple(int(x) for x in qsel[s][j])
                       for s in range(NUM_RANDOMIZED_QUOTIENT_SEGMENTS)]
-                     for i in revealed_indices]
+                     for j in range(len(revealed_indices))]
         proof_stream.enqueue(ProofItem("QuotientSegmentsElements", quot_rows))
         proof_stream.enqueue(ProofItem(
             "AuthenticationStructure",
@@ -620,43 +666,6 @@ def _deep_update(x_bfe, in_value, ood_point, ood_value):
 
 # ------------------------------------------- device-assisted linear algebra
 
-def _lde_bfe_columns(table, rand_coeffs, trace_dom, eval_dom):
-    """Committed codewords: LDE(columns) + zerofier * randomizer, evaluated
-    over eval_dom. Returns numpy uint64 (num_cols, E)."""
-    h, num_cols = table.shape
-    E = eval_dom.length
-    cols = gf.from_u64(table.T.astype(np.uint64))
-    lde = ntt.lde(cols, E // h, 1, eval_dom.offset)
-    rand = np.zeros((num_cols, E), np.uint64)
-    ntr = len(rand_coeffs[0])
-    rand[:, :ntr] = np.array(rand_coeffs, np.uint64)[:, :]
-    if ntr > E:
-        raise ProvingError("too many randomizer coefficients")
-    rand_eval = ntt.ntt(gf.from_u64(rand), eval_dom.offset)
-    zvals = _trace_zerofier_values(trace_dom, eval_dom)
-    z = gf.from_u64(np.broadcast_to(zvals, (num_cols, E)))
-    committed = gf.add(lde, gf.mul(z, rand_eval))
-    return gf.to_u64(committed)
-
-
-def _lde_xfe_columns(aux, rand_coeffs, trace_dom, eval_dom):
-    """Same for XFE columns. aux: (h, num_cols, 3) u64; rand_coeffs:
-    list over cols of list of XFE tuples. Returns (3, num_cols, E) u64."""
-    h, num_cols, _ = aux.shape
-    E = eval_dom.length
-    out = np.zeros((3, num_cols, E), np.uint64)
-    zvals = _trace_zerofier_values(trace_dom, eval_dom)
-    z = gf.from_u64(np.broadcast_to(zvals, (num_cols, E)))
-    rc = np.array(rand_coeffs, np.uint64)  # (num_cols, ntr, 3)
-    for c in range(3):
-        cols = gf.from_u64(aux[:, :, c].T.astype(np.uint64))
-        lde = ntt.lde(cols, E // h, 1, eval_dom.offset)
-        rand = np.zeros((num_cols, E), np.uint64)
-        rand[:, :rc.shape[1]] = rc[:, :, c]
-        rand_eval = ntt.ntt(gf.from_u64(rand), eval_dom.offset)
-        committed = gf.add(lde, gf.mul(z, rand_eval))
-        out[c] = gf.to_u64(committed)
-    return out
 
 
 def _trace_zerofier_values(trace_dom, eval_dom):
@@ -667,55 +676,130 @@ def _trace_zerofier_values(trace_dom, eval_dom):
     return np.array([(pow(x, h, P) - off_h) % P for x in xs], np.uint64)
 
 
-def _merkle_tree_over_bfe_rows(cols_by_rows):
-    """cols_by_rows: (num_cols, L) u64; hashes rows (row-major order)."""
-    rows = gf.from_u64(cols_by_rows.T.copy())
-    digests = tip5_kernel.sponge_absorb_rows(rows)
-    return merkle.MerkleTree(digests)
 
 
-def _merkle_tree_over_xfe_rows(aux_lde):
-    """aux_lde: (3, num_cols, L); row encoding flattens each XFE as
-    (c0, c1, c2) in column order."""
-    _, num_cols, L = aux_lde.shape
-    flat = np.empty((L, num_cols * 3), np.uint64)
-    for c in range(3):
-        flat[:, c::3] = aux_lde[c].T
-    digests = tip5_kernel.sponge_absorb_rows(gf.from_u64(flat))
-    return merkle.MerkleTree(digests)
+
+@functools.lru_cache(maxsize=8)
+def _commit_bfe_fn(h, E, L, offset, ntr, nc):
+    """One-dispatch commit stage for base-field columns: LDE + randomizer
+    + row hashing + full Merkle tree (master_table.rs:258-322,443-503).
+    Returns (committed gf (nc, E), heap-ordered tree gf (5, 2L-1))."""
+    import jax
+    import jax.numpy as jnp
+
+    stride = E // L
+
+    def fn(cols, rand, zvals):
+        lde = ntt.lde(cols, E // h, 1, offset)
+        rand_full = gf.tmap(
+            lambda a: jnp.zeros((nc, E), jnp.uint32).at[:, :ntr].set(a),
+            rand)
+        rand_eval = ntt.ntt(rand_full, offset)
+        z = gf.tmap(lambda a: a[None, :], zvals)
+        committed = gf.add(lde, gf.mul(z, rand_eval))
+        ldt = (gf.tmap(lambda a: a[:, ::stride], committed)
+               if stride != 1 else committed)
+        rows = gf.tmap(lambda a: a.T, ldt)
+        return committed, tip5_kernel.commit_rows(rows)
+
+    return jax.jit(fn)
 
 
-def _merkle_tree_over_xfe_segment_rows(segment_codewords):
-    """segment_codewords: list over segments of list over rows of XFE."""
-    L = len(segment_codewords[0])
-    num_segments = len(segment_codewords)
-    flat = np.empty((L, num_segments * 3), np.uint64)
-    for s, cw in enumerate(segment_codewords):
-        arr = np.array(cw, np.uint64)  # (L, 3)
-        flat[:, 3 * s:3 * s + 3] = arr
-    digests = tip5_kernel.sponge_absorb_rows(gf.from_u64(flat))
-    return merkle.MerkleTree(digests)
+@functools.lru_cache(maxsize=8)
+def _commit_xfe_fn(h, E, L, offset, ntr, nc):
+    """Extension-field commit stage; rows interleave each XFE's three
+    components in column order (master_table.rs row encoding)."""
+    import jax
+    import jax.numpy as jnp
+
+    stride = E // L
+
+    def fn(cols3, rand3, zvals):
+        z = gf.tmap(lambda a: a[None, :], zvals)
+        comps = []
+        for c in range(3):
+            lde = ntt.lde(cols3[c], E // h, 1, offset)
+            rand_full = gf.tmap(
+                lambda a: jnp.zeros((nc, E), jnp.uint32).at[:, :ntr].set(a),
+                rand3[c])
+            rand_eval = ntt.ntt(rand_full, offset)
+            comps.append(gf.add(lde, gf.mul(z, rand_eval)))
+        committed = tuple(comps)
+        ldt = (gfx.tmap(lambda a: a[:, ::stride], committed)
+               if stride != 1 else committed)
+        rows = tuple(
+            jnp.stack([ldt[c][p].T for c in range(3)], axis=2)
+            .reshape(L, nc * 3) for p in range(2))
+        return committed, tip5_kernel.commit_rows(rows)
+
+    return jax.jit(fn)
 
 
-def _quotients_dispatch(main_q, aux_q, trace_dom, quot_dom, challenges,
-                        quot_weights):
-    """Pick the quotient evaluation backend.
 
-    TVM_DEVICE_QUOTIENT=1 forces the compiled device tapes, =0 forces the
-    exact host evaluator; default 'auto' uses the device path on real
+
+
+
+
+@functools.lru_cache(maxsize=8)
+def _segmentify_fn(Q, L, n_qr, quot_offset, ldt_offset):
+    """One-dispatch quotient segmentation (stark.rs:1128-1360): iNTT the
+    quotient codeword, split into 4 segment polynomials, add the
+    zeta-chain randomization, evaluate all 5 randomized segments over the
+    LDT domain, and Merkle-commit the segment rows.
+
+    Returns (5 randomized segment polys, 5 segment codewords (L,),
+    heap-ordered tree (5, 2L-1)) — all device values."""
+    import jax
+    import jax.numpy as jnp
+
+    assert Q // NUM_QUOTIENT_SEGMENTS <= L and n_qr <= L
+    zeta_to_k = pow(ZETA, NUM_QUOTIENT_SEGMENTS, P)
+
+    def pad_add(a, b):
+        na = gf.shape(a[0])[0]
+        nb = gf.shape(b[0])[0]
+        m = max(na, nb)
+        pa = gfx.tmap(lambda x: jnp.pad(x, (0, m - na)), a)
+        pb = gfx.tmap(lambda x: jnp.pad(x, (0, m - nb)), b)
+        return gfx.add(pa, pb)
+
+    def eval_ldt(p):
+        n = gf.shape(p[0])[0]
+        padded = gfx.tmap(lambda x: jnp.pad(x, (0, L - n)), p)
+        return ntt.xfe_map(ntt.ntt, padded, ldt_offset)
+
+    def fn(qcw, qrand):
+        coeffs = ntt.xfe_map(ntt.intt, qcw, quot_offset)
+        polys = [gfx.tmap(lambda a: a[s::NUM_QUOTIENT_SEGMENTS], coeffs)
+                 for s in range(NUM_QUOTIENT_SEGMENTS)] + [qrand]
+        cws = [eval_ldt(p) for p in polys]
+        for i in range(NUM_QUOTIENT_SEGMENTS - 1, -1, -1):
+            n1 = gf.shape(polys[i + 1][0])[0]
+            fac = (_bfe_powers_np(zeta_to_k, n1).astype(object)
+                   * (P - pow(ZETA, i, P)) % P).astype(np.uint64)
+            addend = gfx.bfe_mul(polys[i + 1], gf.from_u64(fac))
+            cws[i] = gfx.add(cws[i], eval_ldt(addend))
+            polys[i] = pad_add(polys[i], addend)
+        rows = tuple(
+            jnp.stack([cws[s][c][p]
+                       for s in range(NUM_RANDOMIZED_QUOTIENT_SEGMENTS)
+                       for c in range(3)], axis=1)
+            for p in range(2))
+        return polys, cws, tip5_kernel.commit_rows(rows)
+
+    return jax.jit(fn)
+
+
+def _use_device_quotients() -> bool:
+    """TVM_DEVICE_QUOTIENT=1 forces the compiled device tapes, =0 forces
+    the exact host evaluator; default 'auto' uses the device path on real
     accelerators and the host path on CPU (where the one-time XLA compile
     of the transition tape dominates small test workloads)."""
     import jax
 
     mode = _os.environ.get("TVM_DEVICE_QUOTIENT", "auto")
-    use_device = mode == "1" or (mode == "auto"
-                                 and jax.default_backend() != "cpu")
-    if use_device:
-        return _all_quotients_combined_device(
-            main_q, aux_q, trace_dom, quot_dom, challenges, quot_weights)
-    return np.asarray(_all_quotients_combined(
-        main_q, aux_q, trace_dom, quot_dom, challenges, quot_weights),
-        np.uint64)
+    return mode == "1" or (mode == "auto"
+                           and jax.default_backend() != "cpu")
 
 
 def _gf_sum0(v):
@@ -776,7 +860,8 @@ def _quotient_fn(Q, unit, h, gen_inv):
 
 
 def _all_quotients_combined_device(main_q, aux_q, trace_dom, quot_dom,
-                                   challenges, quot_weights):
+                                   challenges, quot_weights,
+                                   return_device=False):
     """Device path for master_table.rs:1264-1363: run the compiled AIR
     tapes over the quotient domain and combine with weights + zerofier
     inverses, all in one jitted graph. Bit-identical to the host path
@@ -785,8 +870,12 @@ def _all_quotients_combined_device(main_q, aux_q, trace_dom, quot_dom,
     Q = quot_dom.length
     unit = Q // trace_dom.length
 
-    main = gf.from_u64(main_q.astype(np.uint64))
-    aux = tuple(gf.from_u64(aux_q[c].astype(np.uint64)) for c in range(3))
+    if isinstance(main_q, np.ndarray):
+        main = gf.from_u64(main_q.astype(np.uint64))
+        aux = tuple(gf.from_u64(aux_q[c].astype(np.uint64))
+                    for c in range(3))
+    else:  # already device-resident gf/gfx values
+        main, aux = main_q, aux_q
     ch_u = np.array(challenges.challenges, np.uint64)  # (63, 3)
     ch = tuple(gf.from_u64(ch_u[:, c]) for c in range(3))
 
@@ -804,6 +893,8 @@ def _all_quotients_combined_device(main_q, aux_q, trace_dom, quot_dom,
 
     fn = _quotient_fn(Q, unit, trace_dom.length, gen_inv)
     acc = fn(main, aux, ch, tuple(ws), xs)
+    if return_device:
+        return acc  # gfx (Q,)
     return np.stack([gf.to_u64(acc[c]) for c in range(3)], axis=1)  # (Q, 3)
 
 
@@ -917,19 +1008,6 @@ def _interp_xfe_codeword_arr(codeword: np.ndarray, domain) -> np.ndarray:
     return gfx.to_u64(coeffs)
 
 
-def _interp_xfe_codeword(codeword, domain):
-    """iNTT of an XFE codeword over `domain` -> coefficient list."""
-    arr = np.array(codeword, np.uint64)  # (n, 3)
-    out = _interp_xfe_codeword_arr(arr, domain)
-    return [tuple(int(c) for c in row) for row in out]
-
-
-def _interpolate_quotient_segments(quotient_codeword: np.ndarray, quot_dom):
-    """Segment k gets coefficients k, k+4, k+8, ... (stark.rs quotient
-    segmentation). Input/output numpy (Q, 3) / list of (Q/4, 3)."""
-    coeffs = _interp_xfe_codeword_arr(quotient_codeword, quot_dom)
-    return [coeffs[s::NUM_QUOTIENT_SEGMENTS].copy()
-            for s in range(NUM_QUOTIENT_SEGMENTS)]
 
 
 def _poly_eval_arr(coeffs: np.ndarray, x) -> tuple:

@@ -1,0 +1,89 @@
+"""rand::StdRng (ChaCha12) reimplementation for prover-randomness parity.
+
+The reference seeds one `StdRng` per randomizer polynomial via byte-wise
+little-endian seed offsetting (master_table.rs:631-663; the offset scheme
+is replicated in stark/prover.py::_offset_seed) and draws field elements
+with `rng.random()` (master_table.rs:429-433).
+
+This module implements the ChaCha12 stream exactly as `rand_chacha`
+does: DJB's original variant with a 64-bit block counter in state words
+12-13 and a 64-bit stream id (zero for `from_seed`) in words 14-15;
+`next_u32` consumes output words sequentially, `next_u64` is
+low-word-first. BFieldElement sampling follows twenty-first's
+`Distribution<BFieldElement>`: draw a u64, reduce mod p (AUDIT.md item 1
+tracks validation against Rust-generated vectors)."""
+
+from __future__ import annotations
+
+import struct
+
+from ..fields.bfe import P
+
+_CONSTANTS = struct.unpack("<4I", b"expand 32-byte k")
+_MASK = 0xFFFFFFFF
+
+
+def _rotl(v, n):
+    return ((v << n) | (v >> (32 - n))) & _MASK
+
+
+def _quarter(s, a, b, c, d):
+    s[a] = (s[a] + s[b]) & _MASK
+    s[d] = _rotl(s[d] ^ s[a], 16)
+    s[c] = (s[c] + s[d]) & _MASK
+    s[b] = _rotl(s[b] ^ s[c], 12)
+    s[a] = (s[a] + s[b]) & _MASK
+    s[d] = _rotl(s[d] ^ s[a], 8)
+    s[c] = (s[c] + s[d]) & _MASK
+    s[b] = _rotl(s[b] ^ s[c], 7)
+
+
+class ChaCha12Rng:
+    """rand_chacha::ChaCha12Rng from a 32-byte seed."""
+
+    ROUNDS = 12
+
+    def __init__(self, seed: bytes):
+        assert len(seed) == 32
+        self._key = struct.unpack("<8I", seed)
+        self._counter = 0  # 64-bit block counter
+        self._buf: list[int] = []
+
+    def _block(self) -> list[int]:
+        state = list(_CONSTANTS) + list(self._key) + [
+            self._counter & _MASK, (self._counter >> 32) & _MASK, 0, 0]
+        ws = state[:]
+        for _ in range(self.ROUNDS // 2):
+            _quarter(ws, 0, 4, 8, 12)
+            _quarter(ws, 1, 5, 9, 13)
+            _quarter(ws, 2, 6, 10, 14)
+            _quarter(ws, 3, 7, 11, 15)
+            _quarter(ws, 0, 5, 10, 15)
+            _quarter(ws, 1, 6, 11, 12)
+            _quarter(ws, 2, 7, 8, 13)
+            _quarter(ws, 3, 4, 9, 14)
+        out = [(w + s) & _MASK for w, s in zip(ws, state)]
+        self._counter += 1
+        return out
+
+    def next_u32(self) -> int:
+        if not self._buf:
+            self._buf = self._block()
+        return self._buf.pop(0)
+
+    def next_u64(self) -> int:
+        lo = self.next_u32()
+        hi = self.next_u32()
+        return lo | (hi << 32)
+
+    # -- field-element sampling (twenty-first Distribution impls) --------
+
+    def random_bfe(self) -> int:
+        return self.next_u64() % P
+
+    def random_bfes(self, n: int) -> list[int]:
+        return [self.random_bfe() for _ in range(n)]
+
+    def random_xfes(self, n: int) -> list[tuple]:
+        flat = self.random_bfes(3 * n)
+        return [tuple(flat[3 * i:3 * i + 3]) for i in range(n)]

@@ -799,3 +799,29 @@ class VM:
             for call in state.step():
                 aet.record_co_processor_call(call)
         return aet, state.public_output
+
+    @staticmethod
+    def profile(program, public_input=None, non_determinism=None):
+        """Run `program` and profile which callable blocks contribute
+        which table heights (vm.rs:208-242). Returns
+        (public_output, ExecutionTraceProfile)."""
+        from .aet import AlgebraicExecutionTrace
+        from .execution_trace_profiler import ExecutionTraceProfiler
+
+        state = VMState(program, public_input, non_determinism)
+        aet = AlgebraicExecutionTrace(program)
+        profiler = ExecutionTraceProfiler()
+        prev_jump_stack_len = len(state.jump_stack)
+        while not state.halting:
+            aet.record_state(state)
+            ins = state.current_instruction()
+            if ins.name == "call":
+                label = program.address_to_label.get(
+                    ins.arg, f"address {ins.arg}")
+                profiler.enter_span(label, aet)
+            for call in state.step():
+                aet.record_co_processor_call(call)
+            if len(state.jump_stack) < prev_jump_stack_len:
+                profiler.exit_span(aet)
+            prev_jump_stack_len = len(state.jump_stack)
+        return state.public_output, profiler.finish(aet)
