@@ -10,6 +10,8 @@ from .utils import jaxcfg as _jaxcfg
 _jaxcfg.setup()
 
 from .isa.program import Program, triton_asm, triton_program  # noqa: E402
+from .ldt.fri import Fri, FriParameters  # noqa: E402
+from .ldt.stir import Stir, StirParameters  # noqa: E402
 from .utils import profiler  # noqa: E402
 from .stark.proof_stream import Claim, Proof  # noqa: E402
 from .stark.prover import (Prover, ProvingError, Stark,  # noqa: E402
