@@ -1,0 +1,56 @@
+"""Device aux extension (P10 scans) vs the host reference, bit-for-bit,
+on a real trace covering program/cascade/lookup/u32 activity."""
+
+import numpy as np
+
+from triton_vm_tpu.air.challenges import SAMPLE_COUNT, Challenges
+from triton_vm_tpu.air import columns
+from triton_vm_tpu.fields.bfe import P
+from triton_vm_tpu.models import example_programs as ex
+from triton_vm_tpu.stark.proof_stream import Claim
+from triton_vm_tpu.tables import extend_device, master as mt
+from triton_vm_tpu.vm.machine import VM, PublicInput
+
+A = columns.aux_index
+
+
+def test_device_extend_matches_host():
+    rng = np.random.default_rng(17)
+    program = ex.u32_mix()  # exercises u32 + hash/cascade/lookup tables
+    aet, output = VM.trace_execution(program, PublicInput([50]))
+    claim = (Claim.about_program(program)
+             .with_input([50]).with_output(output))
+    h = aet.padded_height()
+    main = mt.fill_main_table(aet, padded_height=h)
+    challenges = Challenges(
+        [tuple(int(c) for c in row) for row in
+         rng.integers(0, P, size=(SAMPLE_COUNT, 3), dtype=np.uint64)],
+        claim)
+
+    want = mt.extend(main, challenges)
+    got = want.copy()
+    cols = [
+        ("program", "InstructionLookupServerLogDerivative"),
+        ("program", "PrepareChunkRunningEvaluation"),
+        ("program", "SendChunkRunningEvaluation"),
+        ("cascade", "HashTableServerLogDerivative"),
+        ("cascade", "LookupTableClientLogDerivative"),
+        ("lookup", "CascadeTableServerLogDerivative"),
+        ("lookup", "PublicEvaluationArgument"),
+        ("u32", "LookupServerLogDerivative"),
+    ]
+    for table, name in cols:
+        got[:, A(table, name), :] = 0  # make sure the device fns fill them
+
+    extend_device.extend_program_device(main, got, challenges, h)
+    extend_device.extend_cascade_device(main, got, challenges, h)
+    extend_device.extend_lookup_device(main, got, challenges, h)
+    extend_device.extend_u32_device(main, got, challenges, h)
+
+    for table, name in cols:
+        idx = A(table, name)
+        assert np.array_equal(want[:, idx, :], got[:, idx, :]), \
+            f"{table}.{name} mismatch"
+    # untouched columns must be untouched
+    assert np.array_equal(np.delete(want, [A(t, n) for t, n in cols], 1),
+                          np.delete(got, [A(t, n) for t, n in cols], 1))

@@ -107,18 +107,15 @@ MERKLE_VERIFY = """
 U32_MIX = """
     read_io 1
     call loop
-    pop 2
+    pop 1
     halt
 
     loop:
         dup 0 push 0 eq skiz return
         addi -1
-        dup 0 dup 1 and
-        dup 1 dup 1 lt
-        pop 2
-        split add
-        pop 1
-        dup 0
+        dup 0 push 7 and pop 1
+        dup 0 push 3 lt pop 1
+        dup 0 split add pop 1
         recurse
 """
 
