@@ -31,7 +31,8 @@ class MerkleTree:
         n = gf.shape(leaves)[-1]
         assert n >= 1 and (n & (n - 1)) == 0, "leaf count must be a power of 2"
         # one dispatch for the whole tree, one readback for all layers
-        flat = gf.to_u64(tip5_kernel.merkle_flat_jit(leaves))
+        stack = gf.to_u64(tip5_kernel.merkle_flat_jit(leaves))
+        flat = tip5_kernel.assemble_flat(gf.to_u64(leaves), stack)
         self._init_from_flat(flat, n)
 
     @classmethod

@@ -48,45 +48,77 @@ def _powers(base: int, log_len: int, bitrev: bool):
     return v
 
 
+@functools.lru_cache(maxsize=None)
+def _twiddle_table(n: int, root: int):
+    """Stacked twiddles for the constant-geometry network, numpy
+    (log2 n, n/2): W[s][k] = root^((k >> s) << s)."""
+    import numpy as np
+
+    log_n = n.bit_length() - 1
+    W = np.empty((log_n, n // 2), np.uint64)
+    for s in range(log_n):
+        ladder_len = max(n >> (s + 1), 1)
+        acc, step = 1, pow(root, 1 << s, P)
+        ladder = np.empty(ladder_len, np.uint64)
+        for j in range(ladder_len):
+            ladder[j] = acc
+            acc = acc * step % P
+        W[s] = np.repeat(ladder, 1 << s)[:n // 2]
+    return W
+
+
 def ntt_dif(v, root: int):
     """DIF butterfly network: natural input -> bit-reversed output.
+
+    Constant-geometry (Pease) formulation: every stage pairs
+    (i, i + n/2) and perfect-shuffles the halves back together, so all
+    log2(n) stages share one shape and run under a single fori_loop with
+    a stacked twiddle table. This keeps the lowered module ~stage-sized
+    instead of network-sized (the unrolled variant produced multi-MB
+    StableHLO, which the tunneled TPU backend lowers pathologically
+    slowly). Output values are bit-identical to the classic network.
 
     v: gf pair with array shape (*batch, n); root: primitive n-th root."""
     n = gf.shape(v)[-1]
     log_n = n.bit_length() - 1
     assert 1 << log_n == n
-    batch = gf.shape(v)[:-1]
-    for s in range(log_n):
-        h = n >> (s + 1)  # half-block length
-        w = pow(root, 1 << s, P)  # omega of current block size 2h
-        tw = _powers(w, h.bit_length() - 1, bitrev=False)
-        x = gf.reshape(v, (*batch, n // (2 * h), 2 * h))
-        u = gf.tmap(lambda a: a[..., :h], x)
-        t = gf.tmap(lambda a: a[..., h:], x)
+    if n == 1:
+        return v
+    W = gf.from_u64(_twiddle_table(n, root))
+
+    def body(s, v):
+        u = gf.tmap(lambda a: a[..., :n // 2], v)
+        t = gf.tmap(lambda a: a[..., n // 2:], v)
+        w = gf.tmap(lambda a: a[s], W)
         lo = gf.add(u, t)
-        hi = gf.mul(gf.sub(u, t), tw)
-        v = gf.reshape(gf.concatenate([lo, hi], axis=-1), (*batch, n))
-    return v
+        hi = gf.mul(gf.sub(u, t), w)
+        return gf.tmap(
+            lambda a, b: jnp.stack([a, b], axis=-1)
+            .reshape(*a.shape[:-1], n), lo, hi)
+
+    return jax.lax.fori_loop(0, log_n, body, v)
 
 
 def ntt_dit(v, root: int):
-    """DIT butterfly network: bit-reversed input -> natural output."""
+    """DIT butterfly network: bit-reversed input -> natural output.
+    Constant-geometry inverse of ntt_dif's stages (see there)."""
     n = gf.shape(v)[-1]
     log_n = n.bit_length() - 1
     assert 1 << log_n == n
-    batch = gf.shape(v)[:-1]
-    for s in range(log_n - 1, -1, -1):
-        h = n >> (s + 1)
-        w = pow(root, 1 << s, P)
-        tw = _powers(w, h.bit_length() - 1, bitrev=False)
-        x = gf.reshape(v, (*batch, n // (2 * h), 2 * h))
-        u = gf.tmap(lambda a: a[..., :h], x)
-        t = gf.tmap(lambda a: a[..., h:], x)
-        tv = gf.mul(t, tw)
-        lo = gf.add(u, tv)
-        hi = gf.sub(u, tv)
-        v = gf.reshape(gf.concatenate([lo, hi], axis=-1), (*batch, n))
-    return v
+    if n == 1:
+        return v
+    W = gf.from_u64(_twiddle_table(n, root))
+
+    def body(i, v):
+        s = log_n - 1 - i
+        lo = gf.tmap(lambda a: a[..., 0::2], v)
+        hi = gf.tmap(lambda a: a[..., 1::2], v)
+        w = gf.tmap(lambda a: a[s], W)
+        tv = gf.mul(hi, w)
+        return gf.tmap(lambda a, b: jnp.concatenate([a, b], axis=-1),
+                       gf.add(lo, tv), gf.sub(lo, tv))
+
+    return jax.lax.fori_loop(0, log_n, body, v)
 
 
 @functools.partial(jax.jit, static_argnums=(1,))

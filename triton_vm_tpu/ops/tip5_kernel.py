@@ -139,29 +139,61 @@ def _hash_pairs_jit(left, right):
 
 
 def merkle_flat(leaves):
-    """All Merkle layers in one graph, heap order: gf (5, n) ->
-    gf (5, 2n-1); flat[:, i-1] is heap node i (root at i=1).
+    """All Merkle layers in one dispatch: gf (5, n) leaves ->
+    gf (log2(n), 5, n/2) stacked layer buffer; row k holds layer
+    log2(n)-1-k (i.e. the k-th fold) in its first n/2^(k+1) entries.
 
-    Unrolled log2(n) hash_pairs layers so the whole tree is ONE device
-    dispatch with ONE small readback — on tunneled backends per-dispatch
-    latency dominates the per-layer eager loop."""
-    layers = [leaves]
-    while gf.shape(layers[-1])[-1] > 1:
-        cur = layers[-1]
-        left = gf.tmap(lambda x: x[:, 0::2], cur)
-        right = gf.tmap(lambda x: x[:, 1::2], cur)
-        layers.append(hash_pairs(left, right))
-    return gf.concatenate(list(reversed(layers)), axis=-1)
+    One fori_loop over folds on a fixed-size buffer instead of log2(n)
+    unrolled hash_pairs graphs: the unrolled version bloats the lowered
+    module (~2MB StableHLO for n=8192) which is what the tunneled
+    backend's slow lowering path chokes on. The buffer tail beyond the
+    shrinking valid prefix holds duplicated garbage that the host-side
+    assembly (assemble_flat) slices away."""
+    n = gf.shape(leaves)[-1]
+    if n == 1:
+        return gf.zeros((0, 5, 1))  # no folds; flat == leaves
+    logn = (n - 1).bit_length()
+
+    def body(k, carry):
+        buf, out = carry
+        left = gf.tmap(lambda x: x[:, 0::2], buf)
+        right = gf.tmap(lambda x: x[:, 1::2], buf)
+        parents = hash_pairs(left, right)  # (5, n/2)
+        out = gf.tmap(
+            lambda o, p: jax.lax.dynamic_update_slice(o, p[None], (k, 0, 0)),
+            out, parents)
+        buf = gf.tmap(lambda p: jnp.concatenate([p, p], axis=1), parents)
+        return buf, out
+
+    out0 = gf.zeros((logn, 5, n // 2))
+    _, out = jax.lax.fori_loop(0, logn, body, (leaves, out0))
+    return out
 
 
 merkle_flat_jit = jax.jit(merkle_flat)
 
 
+def assemble_flat(leaves_u64: "np.ndarray", stack_u64: "np.ndarray"):
+    """Host assembly of the heap-ordered (5, 2n-1) layer array from the
+    leaf digests (5, n) and the merkle_flat layer stack."""
+    import numpy as np
+
+    n = leaves_u64.shape[-1]
+    parts = []
+    size = 1
+    for k in range(stack_u64.shape[0] - 1, -1, -1):
+        parts.append(stack_u64[k][:, :size])
+        size *= 2
+    parts.append(leaves_u64)
+    return np.concatenate(parts, axis=1)
+
+
 @jax.jit
 def commit_rows(rows):
-    """Row digests + full Merkle tree in one dispatch:
-    gf (B, n) rows -> gf (5, 2B-1) heap-ordered tree."""
-    return merkle_flat(sponge_absorb_rows(rows))
+    """Row digests + full Merkle layer stack in one dispatch:
+    gf (B, n) rows -> (digests gf (5, B), layers gf (log2(B), 5, B/2))."""
+    digests = sponge_absorb_rows(rows)
+    return digests, merkle_flat(digests)
 
 
 @jax.jit

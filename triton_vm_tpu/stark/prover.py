@@ -259,7 +259,9 @@ class Prover:
                 zvals_dev)
 
         _trace("main merkle", "hash")
-        main_tree = merkle.MerkleTree.from_flat(gf.to_u64(main_flat), L)
+        main_tree = merkle.MerkleTree.from_flat(
+            tip5_kernel.assemble_flat(gf.to_u64(main_flat[0]),
+                                      gf.to_u64(main_flat[1])), L)
         proof_stream.enqueue(ProofItem("MerkleRoot", main_tree.root()))
         challenges = Challenges(proof_stream.sample_scalars(SAMPLE_COUNT),
                                 claim)
@@ -282,7 +284,9 @@ class Prover:
                 zvals_dev)
 
         _trace("aux merkle", "hash")
-        aux_tree = merkle.MerkleTree.from_flat(gf.to_u64(aux_flat), L)
+        aux_tree = merkle.MerkleTree.from_flat(
+            tip5_kernel.assemble_flat(gf.to_u64(aux_flat[0]),
+                                      gf.to_u64(aux_flat[1])), L)
         proof_stream.enqueue(ProofItem("MerkleRoot", aux_tree.root()))
 
         initial_quot_weight = proof_stream.sample_scalars(1)[0]
@@ -327,7 +331,9 @@ class Prover:
         rand_seg_polys = [gfx.to_u64(p) for p in polys_dev]
 
         _trace("quot merkle", "hash")
-        quot_tree = merkle.MerkleTree.from_flat(gf.to_u64(quot_flat), L)
+        quot_tree = merkle.MerkleTree.from_flat(
+            tip5_kernel.assemble_flat(gf.to_u64(quot_flat[0]),
+                                      gf.to_u64(quot_flat[1])), L)
         proof_stream.enqueue(ProofItem("MerkleRoot", quot_tree.root()))
 
         # ------------------------------------------------------- OOD rows
