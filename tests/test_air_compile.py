@@ -111,3 +111,27 @@ def test_master_air_tapes_match_host(phase):
     steps, out_ids = linearize(master_air().constraints[phase])
     ref = _host_ref(steps, out_ids, *ins, B)
     assert np.array_equal(dev, ref)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("phase", ["init", "cons", "term", "tran"])
+def test_scan_runner_matches_unrolled(phase):
+    """run_tape_scan (fori_loop over padded per-signature tables) is
+    bit-identical to the unrolled run_tape."""
+    import jax
+    from functools import partial
+
+    from triton_vm_tpu.air.compile import run_tape_scan
+
+    rng = np.random.default_rng(7)
+    B = 4
+    NM, NA, NCH = 379, 91, 63
+    ins = _rand_inputs(rng, B, NM, NA, NCH)
+    main, nmain, aux, naux, ch = _to_device(*ins)
+    tape = phase_tape(phase)
+    args = (main, aux, ch, nmain, naux) if phase == "tran" \
+        else (main, aux, ch)
+    want = np.stack([gf.to_u64(c) for c in run_tape(tape, *args)])
+    fn = jax.jit(partial(run_tape_scan, tape))
+    got = np.stack([gf.to_u64(c) for c in fn(*args)])
+    assert np.array_equal(want, got)

@@ -290,6 +290,147 @@ def run_tape(tape: Tape, main, aux, challenges, next_main=None,
     return tuple(gf.stack([o[c] for o in outs], axis=0) for c in range(3))
 
 
+_SCAN_SIGS = ("bb+", "bb*", "bx+", "bx*", "xx+", "xx*")
+
+
+def tape_scan_tables(tape: Tape):
+    """Uniform per-level index tensors for the fori_loop tape runner.
+
+    For each signature present anywhere in the tape, pad every level to
+    that signature's maximum width; padded lanes read from and write to a
+    dedicated dump slot (one extra slot per bank). Padding wastes
+    arithmetic (up to ~18x for the transition tape) but turns the
+    249-group unrolled graph into ONE loop body — the unrolled form
+    lowers to ~17MB of StableHLO, which dominates per-process prover
+    time on backends with slow lowering paths."""
+    import numpy as np
+
+    dump_b, dump_x = tape.rb, tape.rx
+    L = len(tape.levels)
+    tables = {}
+    for sig in _SCAN_SIGS:
+        widths = [len(lvl[sig][2]) if sig in lvl else 0
+                  for lvl in tape.levels]
+        W = max(widths)
+        if W == 0:
+            continue
+        dump = dump_b if sig[:2] == "bb" else dump_x
+        dump_l = dump_b if sig[:2] == "bb" else dump_x  # lhs bank
+        if sig[:2] == "bx":
+            dump_l = dump_x  # normalized: xfe operand on the left
+        dump_r = dump_b if sig[1] == "b" or sig[:2] == "bx" else dump_x
+        lhs = np.full((L, W), dump_l, np.int32)
+        rhs = np.full((L, W), dump_r, np.int32)
+        dst = np.full((L, W), dump, np.int32)
+        for i, lvl in enumerate(tape.levels):
+            if sig in lvl:
+                li, ri, di = lvl[sig]
+                lhs[i, :len(li)] = li
+                rhs[i, :len(ri)] = ri
+                dst[i, :len(di)] = di
+        tables[sig] = (lhs, rhs, dst)
+    return tables
+
+
+def run_tape_scan(tape: Tape, main, aux, challenges, next_main=None,
+                  next_aux=None):
+    """run_tape with the level loop as a jax.lax.fori_loop over padded
+    per-signature index tables (see tape_scan_tables). Bit-identical
+    results; ~constant-size lowered module."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops import gf, gfx
+
+    B = gf.shape(main)[-1]
+    tables = tape_scan_tables(tape)
+    L = len(tape.levels)
+
+    def bcast(plane_1d):
+        return jnp.broadcast_to(jnp.asarray(plane_1d)[:, None],
+                                (plane_1d.shape[0], B))
+
+    # banks with one extra dump slot each
+    bi = np.concatenate([tape.base_init, np.zeros(1, np.uint64)])
+    xi = np.concatenate([tape.x_init, np.zeros((3, 1), np.uint64)], axis=1)
+    Vb = (bcast((bi & np.uint64(0xFFFFFFFF)).astype(np.uint32)),
+          bcast((bi >> np.uint64(32)).astype(np.uint32)))
+    Vx = tuple((bcast((xi[c] & np.uint64(0xFFFFFFFF)).astype(np.uint32)),
+                bcast((xi[c] >> np.uint64(32)).astype(np.uint32)))
+               for c in range(3))
+
+    def set_b(bank, slots, val):
+        return tuple(p.at[slots].set(v) for p, v in zip(bank, val))
+
+    def set_x(bank, slots, val):
+        return tuple(set_b(bank[c], slots, val[c]) for c in range(3))
+
+    if tape.main_slots.size:
+        Vb = set_b(Vb, tape.main_slots, gf.take(main, tape.main_cols))
+    if tape.next_main_slots.size:
+        Vb = set_b(Vb, tape.next_main_slots,
+                   gf.take(next_main, tape.next_main_cols))
+    if tape.aux_slots.size:
+        Vx = set_x(Vx, tape.aux_slots,
+                   gfx.tmap(lambda a: a[tape.aux_cols], aux))
+    if tape.next_aux_slots.size:
+        Vx = set_x(Vx, tape.next_aux_slots,
+                   gfx.tmap(lambda a: a[tape.next_aux_cols], next_aux))
+    if tape.challenge_slots.size:
+        ch = gfx.tmap(lambda a: jnp.broadcast_to(
+            a[tape.challenge_ids][:, None],
+            (tape.challenge_ids.shape[0], B)), challenges)
+        Vx = set_x(Vx, tape.challenge_slots, ch)
+
+    idx = {sig: tuple(jnp.asarray(t) for t in tbl)
+           for sig, tbl in tables.items()}
+
+    def body(i, banks):
+        Vb, Vx = banks
+        writes = []
+        for sig in _SCAN_SIGS:
+            if sig not in idx:
+                continue
+            li, ri, di = (t[i] for t in idx[sig])
+            if sig[:2] == "bb":
+                l, r = gf.take(Vb, li), gf.take(Vb, ri)
+                res = gf.add(l, r) if sig[2] == "+" else gf.mul(l, r)
+                writes.append(("b", di, res))
+            elif sig[:2] == "bx":
+                l = tuple(gf.take(Vx[c], li) for c in range(3))
+                r = gf.take(Vb, ri)
+                if sig[2] == "+":
+                    res = (gf.add(l[0], r), l[1], l[2])
+                else:
+                    res = gfx.bfe_mul(l, r)
+                writes.append(("x", di, res))
+            else:
+                l = tuple(gf.take(Vx[c], li) for c in range(3))
+                r = tuple(gf.take(Vx[c], ri) for c in range(3))
+                res = gfx.add(l, r) if sig[2] == "+" else gfx.mul(l, r)
+                writes.append(("x", di, res))
+        for bank, di, res in writes:  # all reads happen above (pre-level)
+            if bank == "b":
+                Vb = set_b(Vb, di, res)
+            else:
+                Vx = set_x(Vx, di, res)
+        return Vb, Vx
+
+    Vb, Vx = jax.lax.fori_loop(0, L, body, (Vb, Vx))
+
+    outs = []
+    zero = None
+    for bank_is_base, s in zip(tape.out_banks, tape.out_slots):
+        if bank_is_base:
+            v = gf.index(Vb, int(s))
+            if zero is None:
+                zero = gf.zeros(gf.shape(v))
+            outs.append((v, zero, zero))
+        else:
+            outs.append(tuple(gf.index(Vx[c], int(s)) for c in range(3)))
+    return tuple(gf.stack([o[c] for o in outs], axis=0) for c in range(3))
+
+
 @functools.lru_cache(maxsize=None)
 def phase_tape(phase: str) -> Tape:
     """Compiled tape for one constraint phase of the master AIR."""

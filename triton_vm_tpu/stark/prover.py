@@ -852,10 +852,10 @@ def _quotient_fn(Q, unit, h, gen_inv):
         acc = gfx.zeros((Q,))
         for i, ph in enumerate(("init", "cons", "tran", "term")):
             if ph == "tran":
-                outs = aircomp.run_tape(tapes[ph], main, aux, ch,
-                                        next_main, next_aux)
+                outs = aircomp.run_tape_scan(tapes[ph], main, aux, ch,
+                                             next_main, next_aux)
             else:
-                outs = aircomp.run_tape(tapes[ph], main, aux, ch)
+                outs = aircomp.run_tape_scan(tapes[ph], main, aux, ch)
             wk = gfx.tmap(lambda a: a[:, None], ws[i])
             prod = gfx.mul(outs, wk)
             inner = tuple(_gf_sum0(c) for c in prod)
