@@ -1,0 +1,56 @@
+"""Debug aid: grid-search RNG semantics against the reference's golden
+proof digest (proof.rs:200-225). Run with JAX_PLATFORMS=cpu."""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")  # axon ignores JAX_PLATFORMS env
+
+from triton_vm_tpu.crypto import tip5
+from triton_vm_tpu.isa.program import triton_program
+from triton_vm_tpu.stark.proof_stream import Claim
+from triton_vm_tpu.stark.prover import Prover, Stark
+from triton_vm_tpu.utils.stdrng import ChaCha12Rng, seed_from_u64
+from triton_vm_tpu.vm.machine import VM, PublicInput
+
+GOLD = (2390426207231576512, 11357322246033024133, 15595568858844533957,
+        10807389618517394866, 11786266879565336160)
+
+program = triton_program("""
+    pick 11 pick 12 pick 13 pick 14 pick 15
+    read_io 5 assert_vector halt
+""")
+claim = Claim.about_program(program).with_input(program.hash())
+aet, _ = VM.trace_execution(program, PublicInput(list(claim.input)))
+print("padded height:", aet.padded_height(), flush=True)
+
+
+def derive_seed(mode):
+    rng = ChaCha12Rng(seed_from_u64(4742841043836029231))
+    if mode == "u8x32":
+        return rng.random_u8_array(32)
+    if mode == "fill":
+        out = b""
+        while len(out) < 32:
+            w = rng.next_u32()
+            out += w.to_bytes(4, "little")
+        return out
+    raise ValueError(mode)
+
+
+for seed_mode in ("u8x32", "fill"):
+    for bfe_mode in ("canon", "modp", "zone08"):
+        os.environ["TVM_RNG_BFE"] = bfe_mode
+        t0 = time.time()
+        proof = Prover(Stark(), seed=derive_seed(seed_mode)).prove(claim, aet)
+        words = proof.words
+        digest = tuple(tip5.hash_varlen(
+            [len(words) + 1, len(words)] + words))
+        match = "MATCH!" if digest == GOLD else "no"
+        print(f"seed={seed_mode} bfe={bfe_mode} t={time.time()-t0:.1f}s "
+              f"digest={digest} {match}", flush=True)

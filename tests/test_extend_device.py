@@ -27,7 +27,7 @@ def test_device_extend_matches_host():
          rng.integers(0, P, size=(SAMPLE_COUNT, 3), dtype=np.uint64)],
         claim)
 
-    want = mt.extend(main, challenges)
+    want = mt.extend_host(main, challenges)
     got = want.copy()
     cols = [
         ("program", "InstructionLookupServerLogDerivative"),
@@ -54,3 +54,32 @@ def test_device_extend_matches_host():
     # untouched columns must be untouched
     assert np.array_equal(np.delete(want, [A(t, n) for t, n in cols], 1),
                           np.delete(got, [A(t, n) for t, n in cols], 1))
+
+
+def test_extend_all_device_matches_host_every_instruction():
+    """Full 49-column device extension vs host, on the every-instruction
+    trace (all processor/op-stack/ram/jump-stack/hash activity)."""
+    from tests.test_golden_reference import every_instruction_testable_program
+
+    rng = np.random.default_rng(23)
+    program, public_input, non_determinism = \
+        every_instruction_testable_program()
+    aet, output = VM.trace_execution(program, public_input, non_determinism)
+    claim = (Claim.about_program(program)
+             .with_input(list(public_input.individual_tokens))
+             .with_output(output))
+    h = aet.padded_height()
+    main = mt.fill_main_table(aet, padded_height=h)
+    challenges = Challenges(
+        [tuple(int(c) for c in row) for row in
+         rng.integers(0, P, size=(SAMPLE_COUNT, 3), dtype=np.uint64)],
+        claim)
+
+    want = mt.extend_host(main, challenges)
+    got = extend_device.extend_all_device(main, challenges)
+    for table in ("program", "processor", "op_stack", "ram", "jump_stack",
+                  "hash", "cascade", "lookup", "u32"):
+        for name in columns.AUX_COLUMNS[table]:
+            idx = A(table, name)
+            assert np.array_equal(want[:, idx, :], got[:, idx, :]), \
+                f"{table}.{name} mismatch"

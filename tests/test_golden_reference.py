@@ -166,3 +166,70 @@ def test_every_instruction_program_runs():
         every_instruction_testable_program()
     aet, output = VM.trace_execution(program, public_input, non_determinism)
     assert len(output) == 5
+
+
+def _proof_tip5_digest(proof):
+    """Tip5::hash(&proof): hash_varlen of Proof's BFieldCodec encoding.
+
+    Proof is a one-field tuple struct around Vec<BFieldElement>
+    (proof.rs:38), so its encoding is the length-prepended, then
+    count-prepended word stream."""
+    words = proof.words
+    return tuple(tip5.hash_varlen([len(words) + 1, len(words)] + words))
+
+
+@pytest.mark.slow
+def test_proof_digest_small_program():
+    """Golden full-proof digest from reference proof.rs:200-225:
+    `current_proof_version_is_still_current`."""
+    from triton_vm_tpu.stark.proof_stream import Claim
+    from triton_vm_tpu.stark.prover import Prover, Stark
+    from triton_vm_tpu.utils.stdrng import std_rng_seed_from_u64
+    from triton_vm_tpu.vm.machine import VM, PublicInput
+
+    program = triton_program("""
+        pick 11 pick 12 pick 13 pick 14 pick 15
+        read_io 5 assert_vector halt
+    """)
+    claim = Claim.about_program(program).with_input(program.hash())
+    aet, _ = VM.trace_execution(program, PublicInput(list(claim.input)))
+
+    seed = std_rng_seed_from_u64(4742841043836029231)
+    proof = Prover(Stark(), seed=seed).prove(claim, aet)
+
+    assert _proof_tip5_digest(proof) == (
+        2390426207231576512,
+        11357322246033024133,
+        15595568858844533957,
+        10807389618517394866,
+        11786266879565336160,
+    )
+
+
+@pytest.mark.slow
+def test_proof_digest_every_instruction():
+    """Golden full-proof digest from reference stark.rs:2434-2460:
+    `supplying_prover_randomness_seed_fully_derandomizes_produced_proof`.
+    Uses Stark::low_security() = Stark::new(32, 2)."""
+    from triton_vm_tpu.stark.proof_stream import Claim
+    from triton_vm_tpu.stark.prover import Prover, Stark
+    from triton_vm_tpu.utils.stdrng import std_rng_seed_from_u64
+    from triton_vm_tpu.vm.machine import VM
+
+    program, public_input, non_determinism = \
+        every_instruction_testable_program()
+    claim = Claim.about_program(program).with_input(
+        list(public_input.individual_tokens))
+    aet, output = VM.trace_execution(program, public_input, non_determinism)
+    claim = claim.with_output(list(output))
+
+    seed = std_rng_seed_from_u64(3351975627407608972)
+    proof = Prover(Stark(32, 2), seed=seed).prove(claim, aet)
+
+    assert _proof_tip5_digest(proof) == (
+        8369583593597337114,
+        14430538234814724839,
+        9910198730687648118,
+        13547514320109628452,
+        7746148481830452917,
+    )

@@ -25,11 +25,32 @@ def test_block_counter_advances():
     assert first != second
 
 
-def test_bfe_sampling_reduces_mod_p():
+def test_bfe_sampling_canon_method():
+    """Default sampling follows rand 0.9+'s `random_range(0..=P-1)`
+    (Canon's method): widening multiply, one bias-correction draw when
+    the low-order product exceeds 2^64 - P."""
     r = ChaCha12Rng(bytes(range(32)))
     vals = r.random_bfes(1000)
     assert all(0 <= v < P for v in vals)
-    # stream equality with the raw u64 view
+
+    r2 = ChaCha12Rng(bytes(range(32)))
+    expect = []
+    mask = (1 << 64) - 1
+    for _ in range(1000):
+        v = r2.next_u64() * P
+        hi, lo = v >> 64, v & mask
+        if lo > (1 << 32) - 1:  # (-P) mod 2^64
+            hi2 = (r2.next_u64() * P) >> 64
+            if lo + hi2 > mask:
+                hi += 1
+        expect.append(hi)
+    assert vals == expect
+
+
+def test_bfe_sampling_modp_variant(monkeypatch):
+    monkeypatch.setenv("TVM_RNG_BFE", "modp")
+    r = ChaCha12Rng(bytes(range(32)))
+    vals = r.random_bfes(1000)
     r2 = ChaCha12Rng(bytes(range(32)))
     assert vals == [r2.next_u64() % P for _ in range(1000)]
 

@@ -508,7 +508,24 @@ class X:
 
 
 def extend(main: np.ndarray, challenges) -> np.ndarray:
-    """Compute the 49 AIR aux columns (running arguments) on host."""
+    """Compute the 49 AIR aux columns (running arguments).
+
+    Dispatches to the device scan implementation (extend_device.py,
+    log-depth prefix scans — SURVEY §2.5 P10) unless TVM_DEVICE_EXTEND=0
+    forces the host reference path. Both are bit-identical
+    (tests/test_extend_device.py)."""
+    import os
+
+    if os.environ.get("TVM_DEVICE_EXTEND", "1") != "0":
+        from . import extend_device
+
+        return extend_device.extend_all_device(main, challenges)
+    return extend_host(main, challenges)
+
+
+def extend_host(main: np.ndarray, challenges) -> np.ndarray:
+    """Host reference implementation of the aux extension (per-row
+    Python scans; master_table.rs:1006-1075 semantics)."""
     h = main.shape[0]
     aux = np.zeros((h, NUM_AUX, 3), np.uint64)
 

@@ -78,8 +78,44 @@ class ChaCha12Rng:
 
     # -- field-element sampling (twenty-first Distribution impls) --------
 
+    def random_range_u64_inclusive(self, low: int, high: int) -> int:
+        """rand 0.9+ `Rng::random_range(low..=high)` for u64: Canon's
+        method (uniform_int.rs `sample_single_inclusive`) — one widening
+        multiply, plus one bias-correction draw when the low-order product
+        exceeds `range.wrapping_neg()`."""
+        range_ = (high - low + 1) & _MASK64
+        if range_ == 0:
+            return self.next_u64()
+        v = self.next_u64() * range_
+        result, lo_order = v >> 64, v & _MASK64
+        if lo_order > (-range_) & _MASK64:
+            new_hi_order = (self.next_u64() * range_) >> 64
+            if lo_order + new_hi_order > _MASK64:
+                result += 1
+        return (low + result) & _MASK64
+
     def random_bfe(self) -> int:
-        return self.next_u64() % P
+        """twenty-first `Distribution<BFieldElement>`:
+        `rng.random_range(0..=BFieldElement::MAX)` with MAX = P - 1.
+
+        TVM_RNG_BFE selects the sampling semantics (debug aid for golden
+        transcript bisection): canon (rand 0.9+, default) | modp | zone08
+        (rand 0.8 rejection-zone method)."""
+        import os
+        method = os.environ.get("TVM_RNG_BFE", "canon")
+        if method == "canon":
+            return self.random_range_u64_inclusive(0, P - 1)
+        if method == "modp":
+            return self.next_u64() % P
+        if method == "zone08":
+            range_ = P
+            zone = range_ - 1  # (range << range.leading_zeros()) - 1
+            while True:
+                v = self.next_u64() * range_
+                hi, lo = v >> 64, v & _MASK64
+                if lo <= zone:
+                    return hi
+        raise ValueError(method)
 
     def random_bfes(self, n: int) -> list[int]:
         return [self.random_bfe() for _ in range(n)]
@@ -87,3 +123,33 @@ class ChaCha12Rng:
     def random_xfes(self, n: int) -> list[tuple]:
         flat = self.random_bfes(3 * n)
         return [tuple(flat[3 * i:3 * i + 3]) for i in range(n)]
+
+    def random_u8_array(self, n: int) -> bytes:
+        """rand `StandardUniform` for `[u8; N]`: each byte is an
+        independent `next_u32() as u8` draw (distr/integer.rs)."""
+        return bytes(self.next_u32() & 0xFF for _ in range(n))
+
+
+_MASK64 = 0xFFFFFFFFFFFFFFFF
+
+
+def seed_from_u64(state: int) -> bytes:
+    """rand_core `SeedableRng::seed_from_u64` default implementation:
+    PCG32 steps fill the 32-byte seed in 4-byte little-endian chunks."""
+    mul = 6364136223846793005
+    inc = 11634580027462260723
+    out = bytearray()
+    for _ in range(8):
+        state = (state * mul + inc) & _MASK64
+        xorshifted = (((state >> 18) ^ state) >> 27) & _MASK
+        rot = state >> 59
+        x = ((xorshifted >> rot) | (xorshifted << ((32 - rot) & 31))) & _MASK
+        out += struct.pack("<I", x)
+    return bytes(out)
+
+
+def std_rng_seed_from_u64(state: int) -> bytes:
+    """`StdRng::seed_from_u64(state).random::<[u8; 32]>()` — the pattern
+    the reference's pinned-seed tests use to derive a prover seed
+    (proof.rs:212-216, stark.rs:2446-2448)."""
+    return ChaCha12Rng(seed_from_u64(state)).random_u8_array(32)
