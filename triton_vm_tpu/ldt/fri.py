@@ -8,6 +8,7 @@ lists of XFE tuples; commitment trees embed each XFE as the digest
 
 from __future__ import annotations
 
+import functools
 import math
 from dataclasses import dataclass
 
@@ -93,32 +94,49 @@ class Fri:
     # --------------------------------------------------------------- prover
 
     def prove(self, codeword, proof_stream) -> list[int]:
-        """Returns the (first-round) revealed indices (A-indices)."""
-        if len(codeword) != self.domain.length:
+        """Returns the (first-round) revealed indices (A-indices).
+
+        `codeword` may be a list of XFE tuples or a numpy (n, 3) uint64
+        array; all folding, leaf hashing and tree building run on device
+        (fri.rs:349-366 semantics, device codewords end-to-end)."""
+        import numpy as np
+
+        from ..ops import gf, gfx
+
+        cw = np.asarray(codeword, np.uint64)
+        if cw.shape[0] != self.domain.length:
             raise LdtError("initial codeword length mismatch")
 
-        rounds = []  # (domain, codeword, tree)
+        rounds = []  # (domain, codeword gfx (n,), tree)
         domain = self.domain
+        cur = gfx.from_u64(cw)
 
-        def commit(domain, codeword):
-            import numpy as np
-            digests = np.array([xfe_to_digest(x) for x in codeword], np.uint64)
-            tree = merkle.MerkleTree(digests)
+        def commit(domain, cw_dev):
+            n = gf.shape(cw_dev[0])[0]
+            leaves = gf.stack(
+                [cw_dev[0], cw_dev[1], cw_dev[2],
+                 gf.zeros((n,)), gf.zeros((n,))], axis=0)  # (5, n)
+            tree = merkle.MerkleTree(leaves)
             proof_stream.enqueue(ProofItem("MerkleRoot", tree.root()))
-            rounds.append((domain, codeword, tree))
+            rounds.append((domain, cw_dev, tree))
 
-        commit(domain, list(codeword))
+        commit(domain, cur)
         for _ in range(self.num_rounds()):
             challenge = proof_stream.sample_scalars(1)[0]
-            prev_domain, prev_codeword, _ = rounds[-1]
-            folded = _split_and_fold(prev_domain, prev_codeword, challenge)
+            prev_domain, prev_cw, _ = rounds[-1]
+            folded = _fold_device(prev_domain, prev_cw, challenge)
             commit(prev_domain.pow(2), folded)
 
-        last_domain, last_codeword, _ = rounds[-1]
-        proof_stream.enqueue(ProofItem("FriCodeword", list(last_codeword)))
-        plain_domain = Domain(len(last_codeword))
-        last_poly = plain_domain.interpolate_host(list(last_codeword), xfe)
-        proof_stream.enqueue(ProofItem("Polynomial", list(last_poly)))
+        _, last_cw_dev, _ = rounds[-1]
+        last_codeword = [tuple(int(c) for c in row)
+                         for row in gfx.to_u64(last_cw_dev)]
+        proof_stream.enqueue(ProofItem("FriCodeword", last_codeword))
+        # The reference interpolates via iNTT and sends the FULL-length
+        # coefficient vector, trailing zeros included (fri.rs:262-268;
+        # ArithmeticDomain::interpolate does not normalize). The encoding
+        # length is part of the Fiat-Shamir transcript, so match it.
+        last_poly = _intt_full(last_codeword)
+        proof_stream.enqueue(ProofItem("Polynomial", last_poly))
 
         # query phase
         a_indices = proof_stream.sample_indices(
@@ -136,8 +154,15 @@ class Fri:
         return a_indices
 
     def _reveal(self, proof_stream, round_data, indices):
-        _, codeword, tree = round_data
-        queried_leaves = [codeword[i] for i in indices]
+        import numpy as np
+
+        from ..ops import gf
+
+        _, cw_dev, tree = round_data
+        idx = np.array(indices, np.int64)
+        sel3 = [gf.to_u64(gf.take(cw_dev[c], idx, axis=0)) for c in range(3)]
+        queried_leaves = [tuple(int(sel3[c][i]) for c in range(3))
+                          for i in range(len(indices))]
         auth = tree.authentication_structure(indices)
         proof_stream.enqueue(ProofItem("FriResponse", {
             "queried_leaves": queried_leaves,
@@ -228,8 +253,63 @@ class Fri:
             raise LdtError("bad merkle authentication path")
 
 
+def _intt_full(codeword):
+    """iNTT over the plain (offset-1) domain; full-length coefficient list
+    of XFE tuples, trailing zeros NOT trimmed (twenty-first semantics)."""
+    import numpy as np
+
+    from ..ops import gfx, ntt
+
+    arr = np.array(codeword, np.uint64)  # (n, 3)
+    v = gfx.from_u64(arr)
+    coeffs = ntt.xfe_map(ntt.intt, v, 1)
+    out = gfx.to_u64(coeffs)
+    return [tuple(int(c) for c in row) for row in out]
+
+
+@functools.lru_cache(maxsize=64)
+def _fold_fn(n):
+    """Jitted split-and-fold for length-n codewords:
+    fold_i = ((c_i + c_j) + beta * x_i^{-1} * (c_i - c_j)) / 2, j = i+n/2."""
+    import jax
+
+    from ..ops import gf, gfx
+
+    two_inv = pow(2, P - 2, P)
+
+    def fn(cw, xs_inv_half, beta):
+        half = n // 2
+        left = gfx.tmap(lambda a: a[:half], cw)
+        right = gfx.tmap(lambda a: a[half:], cw)
+        s = gfx.add(left, right)
+        d = gfx.sub(left, right)
+        scaled = gfx.bfe_mul(gfx.mul(beta, d), xs_inv_half)
+        return gfx.bfe_mul(gfx.add(s, scaled), gf.full((), two_inv))
+
+    return jax.jit(fn)
+
+
+def _fold_device(domain: Domain, cw_dev, challenge):
+    """Device split-and-fold (fri.rs:349-366). cw_dev: gfx (n,)."""
+    from ..ops import gf, gfx
+
+    n = domain.length
+    xs = _domain_values_u64(domain.length, domain.offset)[: n // 2]
+    xs_inv = gf.inv(gf.from_u64(xs))
+    beta = gfx.full((), tuple(challenge))
+    return _fold_fn(n)(cw_dev, xs_inv, beta)
+
+
+@functools.lru_cache(maxsize=32)
+def _domain_values_u64(length, offset):
+    import numpy as np
+
+    return np.array(Domain(length, offset).values(), np.uint64)
+
+
 def _split_and_fold(domain: Domain, codeword, challenge):
-    """(1 +/- beta/x_i)-weighted average fold (fri.rs:349-366)."""
+    """(1 +/- beta/x_i)-weighted average fold (fri.rs:349-366),
+    host reference implementation (kept for differential tests)."""
     n = len(codeword)
     values = domain.values()
     inv_values = bfe.batch_inverse(values[:n // 2])

@@ -56,8 +56,14 @@ class ProofItem:
         return ITEM_SPECS[self.variant][2]
 
     def encode(self) -> list[int]:
+        """[discriminant] ++ payload encoding; like the BFieldCodec derive
+        for enums, a dynamically-sized variant field is preceded by its
+        encoding length (same rule as struct fields)."""
         disc, shape, _ = ITEM_SPECS[self.variant]
-        return [disc] + codec.encode(self.payload, shape)
+        payload_enc = codec.encode(self.payload, shape)
+        if codec.static_length(shape) is None:
+            return [disc, len(payload_enc)] + payload_enc
+        return [disc] + payload_enc
 
     @classmethod
     def decode(cls, words, pos=0):
@@ -66,7 +72,17 @@ class ProofItem:
         if disc not in _BY_DISCRIMINANT:
             raise codec.DecodeError(f"unknown proof item discriminant {disc}")
         name, shape, _ = _BY_DISCRIMINANT[disc]
-        payload, pos = codec.decode(words, shape, pos + 1)
+        pos += 1
+        if codec.static_length(shape) is None:
+            codec._check(words, pos, 1)
+            declared = words[pos]
+            pos += 1
+            payload, new_pos = codec.decode(words, shape, pos)
+            if new_pos - pos != declared:
+                raise codec.DecodeError("wrong declared payload length")
+            pos = new_pos
+        else:
+            payload, pos = codec.decode(words, shape, pos)
         return cls(name, payload), pos
 
     def expect(self, variant: str):

@@ -412,7 +412,6 @@ class Prover:
             combination = _eval_xfe_poly_on_domain_arr(comb_coeffs, ldt_dom)
 
         _trace("FRI", "FRI")
-        combination = [tuple(int(c) for c in row) for row in combination]
         revealed_indices = fri.prove(combination, proof_stream)
 
         # ZK guard (stark.rs:644-663)

@@ -1186,9 +1186,9 @@ def _extend_u32(main, aux, ch, h):
 # ================================================= derived aux columns
 
 def fill_derived_aux_columns(main: np.ndarray, aux: np.ndarray, challenges):
-    """Populate the 41 degree-lowering aux columns (host, exact ints)."""
+    """Populate the 41 degree-lowering aux columns (vectorized over rows;
+    exact object-int math)."""
     air = master_air()
-    h = main.shape[0]
     for phase in ("init", "cons", "tran", "term"):
         subs = air.aux_subs[phase]
         if not subs:
@@ -1198,7 +1198,79 @@ def fill_derived_aux_columns(main: np.ndarray, aux: np.ndarray, challenges):
             steps, out_ids = linearize([C.Expr(None, rhs)])
             dual = any(k == "input" and v[0] in (C.NEXT_MAIN, C.NEXT_AUX)
                        for _, k, v in steps)
-            _eval_aux_sub(steps, out_ids[0], main, aux, challenges, col, dual)
+            _eval_aux_sub_vectorized(steps, out_ids[0], main, aux,
+                                     challenges, col, dual)
+
+
+def _eval_aux_sub_vectorized(steps, out_id, main, aux, challenges, out_col,
+                             dual):
+    """Vectorized-over-rows evaluation of one aux substitution RHS using
+    numpy object arrays of exact ints (XFEs as 3 parallel lanes)."""
+    h = main.shape[0]
+
+    def lift_main(col_vals):
+        z = np.zeros(h, object)
+        return (col_vals.astype(object), z, z)
+
+    def shift_next(triple):
+        out = []
+        for lane in triple:
+            rolled = np.roll(lane, -1)
+            rolled[-1] = 0
+            out.append(rolled)
+        return tuple(out)
+
+    env = {}
+    for nid, kind, payload in steps:
+        if kind == "bconst":
+            env[nid] = (payload, 0, 0)
+        elif kind == "xconst":
+            env[nid] = tuple(payload)
+        elif kind == "challenge":
+            env[nid] = tuple(challenges[payload])
+        elif kind == "input":
+            ik, col = payload
+            if ik == C.MAIN:
+                env[nid] = lift_main(main[:, col])
+            elif ik == C.NEXT_MAIN:
+                env[nid] = shift_next(lift_main(main[:, col]))
+            elif ik == C.AUX:
+                env[nid] = tuple(aux[:, col, c].astype(object)
+                                 for c in range(3))
+            else:
+                env[nid] = shift_next(tuple(aux[:, col, c].astype(object)
+                                            for c in range(3)))
+        else:
+            op, lid, rid = payload
+            l, r = env[lid], env[rid]
+            if op == "+":
+                env[nid] = tuple((l[c] + r[c]) % P for c in range(3))
+            else:
+                env[nid] = _xmul_lanes(l, r)
+    out = env[out_id]
+    lanes = []
+    for c in range(3):
+        lane = out[c]
+        if not isinstance(lane, np.ndarray):
+            lane = np.full(h, lane, object)
+        lanes.append(lane)
+    if dual:
+        for lane in lanes:
+            lane[-1] = 0
+    aux[:, out_col, :] = np.stack(
+        [lane.astype(np.uint64) for lane in lanes], axis=1)
+
+
+def _xmul_lanes(a, b):
+    """XFE multiply over F_p[x]/(x^3 - x + 1) on 3 object lanes."""
+    a0, a1, a2 = a
+    b0, b1, b2 = b
+    d0 = a0 * b0
+    d1 = a0 * b1 + a1 * b0
+    d2 = a0 * b2 + a1 * b1 + a2 * b0
+    d3 = a1 * b2 + a2 * b1
+    d4 = a2 * b2
+    return ((d0 - d3) % P, (d1 + d3 - d4) % P, (d2 + d4) % P)
 
 
 def _eval_aux_sub(steps, out_id, main, aux, challenges, out_col, dual):
