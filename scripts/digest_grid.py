@@ -43,14 +43,27 @@ def derive_seed(mode):
     raise ValueError(mode)
 
 
-for seed_mode in ("u8x32", "fill"):
-    for bfe_mode in ("canon", "modp", "zone08"):
-        os.environ["TVM_RNG_BFE"] = bfe_mode
-        t0 = time.time()
-        proof = Prover(Stark(), seed=derive_seed(seed_mode)).prove(claim, aet)
-        words = proof.words
-        digest = tuple(tip5.hash_varlen(
-            [len(words) + 1, len(words)] + words))
-        match = "MATCH!" if digest == GOLD else "no"
-        print(f"seed={seed_mode} bfe={bfe_mode} t={time.time()-t0:.1f}s "
-              f"digest={digest} {match}", flush=True)
+import itertools
+
+for prefix, poly_full, bfe_mode, seed_mode in itertools.product(
+        ("1", "0"), ("1", "0"), ("canon", "modp", "zone08"),
+        ("u8x32", "fill")):
+    os.environ["TVM_ENUM_PREFIX"] = prefix
+    os.environ["TVM_FRI_POLY_FULL"] = poly_full
+    os.environ["TVM_RNG_BFE"] = bfe_mode
+    t0 = time.time()
+    proof = Prover(Stark(), seed=derive_seed(seed_mode)).prove(claim, aet)
+    words = proof.words
+    n = len(words)
+    digests = {
+        "struct": tuple(tip5.hash_varlen([n + 1, n] + words)),
+        "vec": tuple(tip5.hash_varlen([n] + words)),
+        "raw": tuple(tip5.hash_varlen(words)),
+    }
+    match = [k for k, d in digests.items() if d == GOLD]
+    print(f"prefix={prefix} polyfull={poly_full} bfe={bfe_mode} "
+          f"seed={seed_mode} t={time.time()-t0:.1f}s "
+          f"{'MATCH ' + match[0] + '!' if match else 'no'} "
+          f"d={digests['struct'][0]}", flush=True)
+    if match:
+        break

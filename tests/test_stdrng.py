@@ -61,3 +61,24 @@ def test_prover_seed_offsetting_is_le_wrapping_addition():
     seed = bytes([0xFF] * 4 + [0] * 28)
     out = _offset_seed(seed, 1)
     assert out[:5] == bytes([0, 0, 0, 0, 1])
+
+
+def test_batched_drbg_matches_scalar():
+    from triton_vm_tpu.utils.stdrng import drbg_bfes_batch
+    from triton_vm_tpu.stark.prover import _drbg_bfes
+
+    seed = bytes(range(32))
+    batch = drbg_bfes_batch(seed, range(5), 17)
+    for off in range(5):
+        assert list(batch[off]) == _drbg_bfes(seed, off, 17)
+
+
+def test_batched_drbg_matches_scalar_modp(monkeypatch):
+    monkeypatch.setenv("TVM_RNG_BFE", "modp")
+    from triton_vm_tpu.utils.stdrng import drbg_bfes_batch
+    from triton_vm_tpu.stark.prover import _drbg_bfes
+
+    seed = bytes(reversed(range(32)))
+    batch = drbg_bfes_batch(seed, [0, 3, 470], 9)
+    for i, off in enumerate([0, 3, 470]):
+        assert list(batch[i]) == _drbg_bfes(seed, off, 9)

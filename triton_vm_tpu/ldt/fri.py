@@ -135,7 +135,13 @@ class Fri:
         # coefficient vector, trailing zeros included (fri.rs:262-268;
         # ArithmeticDomain::interpolate does not normalize). The encoding
         # length is part of the Fiat-Shamir transcript, so match it.
+        # (TVM_FRI_POLY_FULL=0 trims instead: bisection aid.)
+        import os
+
         last_poly = _intt_full(last_codeword)
+        if os.environ.get("TVM_FRI_POLY_FULL", "1") == "0":
+            while len(last_poly) > 1 and last_poly[-1] == (0, 0, 0):
+                last_poly.pop()
         proof_stream.enqueue(ProofItem("Polynomial", last_poly))
 
         # query phase

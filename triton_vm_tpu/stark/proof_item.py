@@ -47,6 +47,12 @@ _BY_DISCRIMINANT = {spec[0]: (name, spec[1], spec[2])
                     for name, spec in ITEM_SPECS.items()}
 
 
+def _enum_prefix() -> bool:
+    import os
+
+    return os.environ.get("TVM_ENUM_PREFIX", "1") != "0"
+
+
 @dataclass
 class ProofItem:
     variant: str
@@ -58,10 +64,13 @@ class ProofItem:
     def encode(self) -> list[int]:
         """[discriminant] ++ payload encoding; like the BFieldCodec derive
         for enums, a dynamically-sized variant field is preceded by its
-        encoding length (same rule as struct fields)."""
+        encoding length (same rule as struct fields).
+
+        TVM_ENUM_PREFIX=0 disables the inner prefix (golden-transcript
+        bisection aid)."""
         disc, shape, _ = ITEM_SPECS[self.variant]
         payload_enc = codec.encode(self.payload, shape)
-        if codec.static_length(shape) is None:
+        if codec.static_length(shape) is None and _enum_prefix():
             return [disc, len(payload_enc)] + payload_enc
         return [disc] + payload_enc
 
@@ -73,7 +82,7 @@ class ProofItem:
             raise codec.DecodeError(f"unknown proof item discriminant {disc}")
         name, shape, _ = _BY_DISCRIMINANT[disc]
         pos += 1
-        if codec.static_length(shape) is None:
+        if codec.static_length(shape) is None and _enum_prefix():
             codec._check(words, pos, 1)
             declared = words[pos]
             pos += 1

@@ -86,6 +86,20 @@ def _drbg_bfes(seed: bytes, offset: int, n: int) -> list[int]:
     return ChaCha12Rng(_offset_seed(seed, offset)).random_bfes(n)
 
 
+def _drbg_bfes_rows(seed: bytes, offsets, n: int) -> np.ndarray:
+    """Batched `_drbg_bfes` (vectorized ChaCha keystream): (B, n) u64."""
+    from ..utils.stdrng import drbg_bfes_batch
+
+    return drbg_bfes_batch(seed, offsets, n).astype(np.uint64)
+
+
+def _drbg_xfes_rows(seed: bytes, offsets, n: int) -> np.ndarray:
+    """Batched `_drbg_xfes`: (B, n, 3) u64."""
+    from ..utils.stdrng import drbg_xfes_batch
+
+    return drbg_xfes_batch(seed, offsets, n).astype(np.uint64)
+
+
 def _offset_seed(seed: bytes, offset: int) -> bytes:
     total = (int.from_bytes(seed, "little") + offset) % (1 << (8 * len(seed)))
     return total.to_bytes(len(seed), "little")
@@ -97,6 +111,18 @@ def _drbg_xfes(seed: bytes, offset: int, n: int) -> list[tuple]:
 
 
 # ------------------------------------------------------------- parameters
+
+@functools.lru_cache(maxsize=1)
+def _max_constraint_degrees() -> dict:
+    """Per-phase maximum constraint degree of the lowered master AIR
+    (walked once; Stark.max_degree is called by prover AND verifier)."""
+    air = master_air()
+    out = {}
+    for phase, cs in air.constraints.items():
+        memo = {}
+        out[phase] = max((C.degree(c.node, memo) for c in cs), default=0)
+    return out
+
 
 class Stark:
     ZETA = ZETA
@@ -128,17 +154,14 @@ class Stark:
             padded_height, num_trace_randomizers) - 1
 
     @classmethod
+    @functools.lru_cache(maxsize=64)
     def max_degree(cls, padded_height, num_trace_randomizers):
         d = cls.interpolant_degree(padded_height, num_trace_randomizers)
-        air = master_air()
         zerofier_deg = {"init": 1, "cons": padded_height,
                         "tran": padded_height - 1, "term": 1}
         best = 0
-        for phase, cs in air.constraints.items():
-            memo = {}
-            for cexpr in cs:
-                deg = C.degree(cexpr.node, memo)
-                best = max(best, deg * d - zerofier_deg[phase])
+        for phase, deg in _max_constraint_degrees().items():
+            best = max(best, deg * d - zerofier_deg[phase])
         smallest_domain = 1 << (best - 1).bit_length()
         return smallest_domain - 1
 
@@ -248,8 +271,7 @@ class Prover:
         main = mt.fill_main_table(aet, padded_height=h)
         mt.fill_derived_main_columns(main)
 
-        main_rand_coeffs = [
-            _drbg_bfes(self.seed, i, ntr) for i in range(NUM_MAIN)]
+        main_rand_coeffs = _drbg_bfes_rows(self.seed, range(NUM_MAIN), ntr)
         _trace("main LDE", "LDE")
         zvals_dev = gf.from_u64(_trace_zerofier_values(trace_dom, eval_dom))
         main_lde_dev, main_flat = _commit_bfe_fn(
@@ -270,11 +292,11 @@ class Prover:
         _trace("extend aux", "witness")
         aux = mt.extend(main, challenges)
         mt.fill_derived_aux_columns(main, aux, challenges.challenges)
-        batch_rand = _drbg_xfes(self.seed, NUM_MAIN + NUM_AUX, h)
-        aux[:, NUM_AUX - 1, :] = np.array(batch_rand, np.uint64)
+        aux[:, NUM_AUX - 1, :] = _drbg_xfes_rows(
+            self.seed, [NUM_MAIN + NUM_AUX], h)[0]
 
-        aux_rand_coeffs = [
-            _drbg_xfes(self.seed, NUM_MAIN + i, ntr) for i in range(NUM_AUX)]
+        aux_rand_coeffs = _drbg_xfes_rows(
+            self.seed, range(NUM_MAIN, NUM_MAIN + NUM_AUX), ntr)
         _trace("aux LDE", "LDE")
         rc = np.array(aux_rand_coeffs, np.uint64)  # (NUM_AUX, ntr, 3)
         aux_lde_dev, aux_flat = _commit_xfe_fn(
@@ -321,8 +343,8 @@ class Prover:
         # (stark.rs:1128-1360) — one fused device dispatch
         _trace("segmentify", "quotient")
         n_qr = Stark.num_quotient_table_randomizers(ntr)
-        q_randomizer = np.array(
-            _drbg_xfes(self.seed, NUM_MAIN + NUM_AUX + 1, n_qr), np.uint64)
+        q_randomizer = _drbg_xfes_rows(
+            self.seed, [NUM_MAIN + NUM_AUX + 1], n_qr)[0]
         polys_dev, cws_dev, quot_flat = _segmentify_fn(
             Q, L, n_qr, quot_dom.offset, ldt_dom.offset)(
                 quotient_dev, gfx.from_u64(q_randomizer))
@@ -601,10 +623,16 @@ class Verifier:
                 quot_digests, quot_auth):
             raise VerificationError("quotient codeword authentication failure")
 
-        for idx, main_row, aux_row, quot_row, revealed in zip(
+        # batch-invert all 4*t DEEP denominators in one pass
+        ood_points = (alpha, omega_alpha, alpha_pow_k, zeta_alpha_pow_k)
+        denominators = [
+            xfe.sub(xfe.lift(ldt_dom.value(idx)), pt)
+            for idx in revealed_indices for pt in ood_points]
+        denominator_invs = _batch_inverse_xfe(denominators)
+
+        for q, (idx, main_row, aux_row, quot_row, revealed) in enumerate(zip(
                 revealed_indices, main_rows, aux_rows, quot_rows,
-                revealed_values):
-            x = ldt_dom.value(idx)
+                revealed_values)):
             main_aux_elem = _linear_sum(
                 [xfe.lift(v) for v in main_row], aux_row, weights)
             shared = xfe.ZERO
@@ -613,13 +641,12 @@ class Verifier:
             quot_elem_p = xfe.add(xfe.mul(quot_row[0], w_qs[0]), shared)
             quot_elem_r = xfe.add(xfe.mul(quot_row[-1], w_qs[-1]), shared)
 
+            invs = denominator_invs[4 * q:4 * q + 4]
             deep_vals = [
-                _deep_update(x, main_aux_elem, alpha, ood_curr_main_aux),
-                _deep_update(x, main_aux_elem, omega_alpha,
-                             ood_next_main_aux),
-                _deep_update(x, quot_elem_p, alpha_pow_k, ood_quot_p_value),
-                _deep_update(x, quot_elem_r, zeta_alpha_pow_k,
-                             ood_quot_r_value),
+                xfe.mul(xfe.sub(main_aux_elem, ood_curr_main_aux), invs[0]),
+                xfe.mul(xfe.sub(main_aux_elem, ood_next_main_aux), invs[1]),
+                xfe.mul(xfe.sub(quot_elem_p, ood_quot_p_value), invs[2]),
+                xfe.mul(xfe.sub(quot_elem_r, ood_quot_r_value), invs[3]),
             ]
             acc = xfe.ZERO
             for w, v in zip(weights["deep"], deep_vals):
@@ -667,6 +694,21 @@ def _deep_update(x_bfe, in_value, ood_point, ood_value):
     num = xfe.sub(in_value, ood_value)
     den = xfe.sub(xfe.lift(x_bfe), ood_point)
     return xfe.mul(num, xfe.inv(den))
+
+
+def _batch_inverse_xfe(values):
+    """Montgomery's trick over XFEs: one inversion for n elements."""
+    if not values:
+        return []
+    prefix = [xfe.ONE]
+    for v in values:
+        prefix.append(xfe.mul(prefix[-1], v))
+    inv_all = xfe.inv(prefix[-1])
+    out = [None] * len(values)
+    for i in range(len(values) - 1, -1, -1):
+        out[i] = xfe.mul(prefix[i], inv_all)
+        inv_all = xfe.mul(inv_all, values[i])
+    return out
 
 
 # ------------------------------------------- device-assisted linear algebra

@@ -133,6 +133,119 @@ class ChaCha12Rng:
 _MASK64 = 0xFFFFFFFFFFFFFFFF
 
 
+# ------------------------------------------------ batched keystream (numpy)
+
+def _chacha12_blocks_batch(keys, counters):
+    """Vectorized ChaCha12 blocks: keys (B, 8) uint32, counters (B,)
+    uint64 -> (B, 16) uint32 output words. Bit-exact with ChaCha12Rng."""
+    import numpy as np
+
+    B = keys.shape[0]
+    state = np.empty((B, 16), np.uint32)
+    state[:, 0:4] = np.array(_CONSTANTS, np.uint32)
+    state[:, 4:12] = keys
+    state[:, 12] = (counters & 0xFFFFFFFF).astype(np.uint32)
+    state[:, 13] = (counters >> np.uint64(32)).astype(np.uint32)
+    state[:, 14:16] = 0
+    ws = state.copy()
+
+    def rotl(v, n):
+        return (v << np.uint32(n)) | (v >> np.uint32(32 - n))
+
+    def quarter(a, b, c, d):
+        ws[:, a] += ws[:, b]
+        ws[:, d] = rotl(ws[:, d] ^ ws[:, a], 16)
+        ws[:, c] += ws[:, d]
+        ws[:, b] = rotl(ws[:, b] ^ ws[:, c], 12)
+        ws[:, a] += ws[:, b]
+        ws[:, d] = rotl(ws[:, d] ^ ws[:, a], 8)
+        ws[:, c] += ws[:, d]
+        ws[:, b] = rotl(ws[:, b] ^ ws[:, c], 7)
+
+    with np.errstate(over="ignore"):
+        for _ in range(6):
+            quarter(0, 4, 8, 12)
+            quarter(1, 5, 9, 13)
+            quarter(2, 6, 10, 14)
+            quarter(3, 7, 11, 15)
+            quarter(0, 5, 10, 15)
+            quarter(1, 6, 11, 12)
+            quarter(2, 7, 8, 13)
+            quarter(3, 4, 9, 14)
+        return ws + state
+
+
+def _u64_streams(seeds: list[bytes], num_u64: int):
+    """The first `num_u64` u64 keystream words for each 32-byte seed,
+    as a (len(seeds), num_u64) object array (exact ints)."""
+    import numpy as np
+
+    B = len(seeds)
+    m = -(-num_u64 * 2 // 16)  # blocks per key
+    keys = np.frombuffer(b"".join(seeds), np.uint32).reshape(B, 8)
+    keys_rep = np.repeat(keys, m, axis=0)
+    counters = np.tile(np.arange(m, dtype=np.uint64), B)
+    blocks = _chacha12_blocks_batch(keys_rep, counters)  # (B*m, 16)
+    words = blocks.reshape(B, m * 16).astype(object)
+    u64s = words[:, 0::2] | (words[:, 1::2] << 32)  # low word first
+    return u64s[:, :num_u64]
+
+
+def drbg_bfes_batch(seed: bytes, offsets, n: int):
+    """Batched `_drbg_bfes`: one row of n BFEs per offset, drawn exactly
+    as `StdRng::from_seed(offset_rng_seed(seed, offset))` + n times
+    `rng.random::<BFieldElement>()`. Returns (len(offsets), n) object
+    array of ints.
+
+    The vectorized fast path assumes every Canon draw takes the
+    bias-correction branch (probability 1 - 2^-32 per draw); rows where
+    any draw would not are recomputed with the scalar reference path."""
+    import numpy as np
+    import os
+
+    offsets = list(offsets)
+    seeds = [_offset_seed_bytes(seed, o) for o in offsets]
+    method = os.environ.get("TVM_RNG_BFE", "canon")
+    mask64 = _MASK64
+    if method == "canon":
+        streams = _u64_streams(seeds, 2 * n)
+        v = streams[:, 0::2]
+        v2 = streams[:, 1::2]
+        prod = v * P
+        hi, lo = prod >> 64, prod & mask64
+        biased = lo > 0xFFFFFFFF
+        hi2 = (v2 * P) >> 64
+        overflow = (lo + hi2) > mask64
+        out = hi + (biased & overflow)
+        bad = ~biased.all(axis=1)
+    elif method == "modp":
+        streams = _u64_streams(seeds, n)
+        out = streams % P
+        bad = np.zeros(len(offsets), bool)
+    elif method == "zone08":
+        streams = _u64_streams(seeds, n)
+        prod = streams * P
+        hi, lo = prod >> 64, prod & mask64
+        out = hi
+        bad = (lo > P - 1).any(axis=1)
+    else:
+        raise ValueError(method)
+    for i in np.nonzero(bad)[0]:
+        out[i] = ChaCha12Rng(seeds[int(i)]).random_bfes(n)
+    return out
+
+
+def drbg_xfes_batch(seed: bytes, offsets, n: int):
+    """Batched XFE draws: (len(offsets), n, 3) object array."""
+    flat = drbg_bfes_batch(seed, offsets, 3 * n)
+    return flat.reshape(len(list(offsets)), n, 3)
+
+
+def _offset_seed_bytes(seed: bytes, offset: int) -> bytes:
+    total = (int.from_bytes(seed, "little") + offset) % (1 << (8 * len(seed)))
+    return total.to_bytes(len(seed), "little")
+
+
 def seed_from_u64(state: int) -> bytes:
     """rand_core `SeedableRng::seed_from_u64` default implementation:
     PCG32 steps fill the 32-byte seed in 4-byte little-endian chunks."""
