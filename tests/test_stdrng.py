@@ -82,3 +82,11 @@ def test_batched_drbg_matches_scalar_modp(monkeypatch):
     batch = drbg_bfes_batch(seed, [0, 3, 470], 9)
     for i, off in enumerate([0, 3, 470]):
         assert list(batch[i]) == _drbg_bfes(seed, off, 9)
+
+
+def test_rand_stdrng_value_stability_vector():
+    """rand's own rngs/std.rs `test_stdrng_construction` known-answer:
+    pins StdRng = ChaCha12 `from_seed` + `next_u64` exactly."""
+    seed = bytes([1, 0, 0, 0, 23, 0, 0, 0, 200, 1, 0, 0, 210, 30, 0, 0]
+                 + [0] * 16)
+    assert ChaCha12Rng(seed).next_u64() == 10719222850664546238

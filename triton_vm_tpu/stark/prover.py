@@ -125,15 +125,34 @@ def _max_constraint_degrees() -> dict:
 
 
 class Stark:
+    """Protocol parameters (stark.rs:113-145): security level, expansion
+    factor, LDT choice override, and the proximity-gap soundness regime
+    (`proven` Johnson bound / `conjectured` list-decoding capacity,
+    low_degree_test/mod.rs:120-155)."""
+
     ZETA = ZETA
 
     def __init__(self, security_level=160, log2_ldt_expansion_factor=2,
-                 ldt_choice=None):
+                 ldt_choice=None, soundness="proven"):
         assert log2_ldt_expansion_factor > 0
         assert ldt_choice in (None, "fri", "stir")
+        assert soundness in ("proven", "conjectured")
         self.security_level = security_level
         self.log2_ldt_expansion_factor = log2_ldt_expansion_factor
         self.ldt_choice = ldt_choice
+        self.soundness = soundness
+
+    def with_ldt_choice(self, choice):
+        return Stark(self.security_level, self.log2_ldt_expansion_factor,
+                     choice, self.soundness)
+
+    def with_soundness(self, soundness):
+        return Stark(self.security_level, self.log2_ldt_expansion_factor,
+                     self.ldt_choice, soundness)
+
+    @classmethod
+    def low_security(cls):
+        return cls(32, 2)
 
     # -- degree bookkeeping ------------------------------------------------
 
@@ -178,7 +197,8 @@ class Stark:
             fri = Fri(FriParameters(
                 security_level=self.security_level,
                 log2_initial_expansion_factor=self.log2_ldt_expansion_factor,
-                log2_high_degree_bound=log2_bound))
+                log2_high_degree_bound=log2_bound,
+                soundness=self.soundness))
             ntr = self.num_trace_randomizers(fri)
             rand_len = self.randomized_trace_len(padded_height, ntr)
             if fri.initial_domain().length >= rand_len * (
@@ -201,7 +221,8 @@ class Stark:
                 security_level=self.security_level,
                 log2_folding_factor=2,
                 log2_initial_expansion_factor=self.log2_ldt_expansion_factor,
-                log2_high_degree_bound=log2_bound))
+                log2_high_degree_bound=log2_bound,
+                soundness=self.soundness))
             ntr = self.num_trace_randomizers(stir)
             rand_len = self.randomized_trace_len(padded_height, ntr)
             if stir.initial_domain().length >= rand_len * (
@@ -211,11 +232,13 @@ class Stark:
 
     def ldt(self, padded_height: int):
         """Pick the low-degree test (stark.rs:1942-1958): FRI below padded
-        height 2^16 (proven regime), STIR above; `ldt_choice` overrides."""
+        height 2^16 (proven regime) / 2^17 (conjectured regime), STIR
+        above; `ldt_choice` overrides."""
         choice = self.ldt_choice
         if choice is None:
             log2_ph = max(padded_height, 1).bit_length() - 1
-            choice = "fri" if log2_ph < 16 else "stir"
+            cutoff = 16 if self.soundness == "proven" else 17
+            choice = "fri" if log2_ph < cutoff else "stir"
         return self.fri(padded_height) if choice == "fri" \
             else self.stir(padded_height)
 
@@ -273,11 +296,30 @@ class Prover:
 
         main_rand_coeffs = _drbg_bfes_rows(self.seed, range(NUM_MAIN), ntr)
         _trace("main LDE", "LDE")
+        from ..parallel import sharding
+
+        mesh = sharding.active_mesh()
         zvals_dev = gf.from_u64(_trace_zerofier_values(trace_dom, eval_dom))
+        if mesh is not None:
+            zvals_dev = sharding.replicate(mesh, zvals_dev)
+
+        def pad_cols(arr, ncp):
+            if ncp == arr.shape[0]:
+                return arr
+            pad = np.zeros((ncp - arr.shape[0],) + arr.shape[1:], np.uint64)
+            return np.concatenate([arr, pad])
+
+        def col_sharded(arr, ncp):
+            v = gf.from_u64(pad_cols(np.ascontiguousarray(arr), ncp))
+            return sharding.shard(mesh, v, 0, arr.ndim) if mesh else v
+
+        ncp_main = (-(-NUM_MAIN // mesh.size) * mesh.size if mesh
+                    else NUM_MAIN)
         main_lde_dev, main_flat = _commit_bfe_fn(
-            h, E, L, eval_dom.offset, ntr, NUM_MAIN)(
-                gf.from_u64(main.T.astype(np.uint64)),
-                gf.from_u64(np.array(main_rand_coeffs, np.uint64)),
+            h, E, L, eval_dom.offset, ntr, NUM_MAIN, ncp_main)(
+                col_sharded(main.T.astype(np.uint64), ncp_main),
+                col_sharded(np.asarray(main_rand_coeffs, np.uint64),
+                            ncp_main),
                 zvals_dev)
 
         _trace("main merkle", "hash")
@@ -299,10 +341,12 @@ class Prover:
             self.seed, range(NUM_MAIN, NUM_MAIN + NUM_AUX), ntr)
         _trace("aux LDE", "LDE")
         rc = np.array(aux_rand_coeffs, np.uint64)  # (NUM_AUX, ntr, 3)
+        ncp_aux = -(-NUM_AUX // mesh.size) * mesh.size if mesh else NUM_AUX
         aux_lde_dev, aux_flat = _commit_xfe_fn(
-            h, E, L, eval_dom.offset, ntr, NUM_AUX)(
-                tuple(gf.from_u64(aux[:, :, c].T.copy()) for c in range(3)),
-                tuple(gf.from_u64(rc[:, :, c]) for c in range(3)),
+            h, E, L, eval_dom.offset, ntr, NUM_AUX, ncp_aux)(
+                tuple(col_sharded(aux[:, :, c].T, ncp_aux)
+                      for c in range(3)),
+                tuple(col_sharded(rc[:, :, c], ncp_aux) for c in range(3)),
                 zvals_dev)
 
         _trace("aux merkle", "hash")
@@ -727,23 +771,30 @@ def _trace_zerofier_values(trace_dom, eval_dom):
 
 
 @functools.lru_cache(maxsize=8)
-def _commit_bfe_fn(h, E, L, offset, ntr, nc):
+def _commit_bfe_fn(h, E, L, offset, ntr, nc, ncp=None):
     """One-dispatch commit stage for base-field columns: LDE + randomizer
     + row hashing + full Merkle tree (master_table.rs:258-322,443-503).
-    Returns (committed gf (nc, E), heap-ordered tree gf (5, 2L-1))."""
+    Returns (committed gf (nc, E), heap-ordered tree gf (5, 2L-1)).
+
+    `ncp` (>= nc) is the padded column count used on a device mesh so the
+    column axis divides the mesh; the zero pad columns are sliced away
+    before row hashing."""
     import jax
     import jax.numpy as jnp
 
     stride = E // L
+    ncp = ncp or nc
 
     def fn(cols, rand, zvals):
         lde = ntt.lde(cols, E // h, 1, offset)
         rand_full = gf.tmap(
-            lambda a: jnp.zeros((nc, E), jnp.uint32).at[:, :ntr].set(a),
+            lambda a: jnp.zeros((ncp, E), jnp.uint32).at[:, :ntr].set(a),
             rand)
         rand_eval = ntt.ntt(rand_full, offset)
         z = gf.tmap(lambda a: a[None, :], zvals)
         committed = gf.add(lde, gf.mul(z, rand_eval))
+        if ncp != nc:
+            committed = gf.tmap(lambda a: a[:nc], committed)
         ldt = (gf.tmap(lambda a: a[:, ::stride], committed)
                if stride != 1 else committed)
         rows = gf.tmap(lambda a: a.T, ldt)
@@ -753,13 +804,14 @@ def _commit_bfe_fn(h, E, L, offset, ntr, nc):
 
 
 @functools.lru_cache(maxsize=8)
-def _commit_xfe_fn(h, E, L, offset, ntr, nc):
+def _commit_xfe_fn(h, E, L, offset, ntr, nc, ncp=None):
     """Extension-field commit stage; rows interleave each XFE's three
     components in column order (master_table.rs row encoding)."""
     import jax
     import jax.numpy as jnp
 
     stride = E // L
+    ncp = ncp or nc
 
     def fn(cols3, rand3, zvals):
         z = gf.tmap(lambda a: a[None, :], zvals)
@@ -767,10 +819,13 @@ def _commit_xfe_fn(h, E, L, offset, ntr, nc):
         for c in range(3):
             lde = ntt.lde(cols3[c], E // h, 1, offset)
             rand_full = gf.tmap(
-                lambda a: jnp.zeros((nc, E), jnp.uint32).at[:, :ntr].set(a),
+                lambda a: jnp.zeros((ncp, E), jnp.uint32).at[:, :ntr].set(a),
                 rand3[c])
             rand_eval = ntt.ntt(rand_full, offset)
-            comps.append(gf.add(lde, gf.mul(z, rand_eval)))
+            full = gf.add(lde, gf.mul(z, rand_eval))
+            if ncp != nc:
+                full = gf.tmap(lambda a: a[:nc], full)
+            comps.append(full)
         committed = tuple(comps)
         ldt = (gfx.tmap(lambda a: a[:, ::stride], committed)
                if stride != 1 else committed)
@@ -937,6 +992,18 @@ def _all_quotients_combined_device(main_q, aux_q, trace_dom, quot_dom,
 
     xs = gf.from_u64(np.array(quot_dom.values(), np.uint64))
     gen_inv = bfe.inv(trace_dom.generator)
+
+    from ..parallel import sharding as _sh
+
+    mesh = _sh.active_mesh()
+    if mesh is not None:
+        # row-parallel quotient evaluation (SURVEY §2.5 P4): reshard the
+        # committed codewords from column- to row-sharded; GSPMD lowers
+        # this to the one all-to-all the stage needs.
+        main = _sh.shard(mesh, main, 1, 2)
+        aux = _sh.shard(mesh, aux, 1, 2)
+        ch = _sh.replicate(mesh, ch)
+        xs = _sh.shard(mesh, xs, 0, 1)
 
     fn = _quotient_fn(Q, unit, trace_dom.length, gen_inv)
     acc = fn(main, aux, ch, tuple(ws), xs)
