@@ -53,3 +53,12 @@ def test_sharded_merkle_root_matches(mesh8):
     tree = merkle.MerkleTree(tip5_kernel.sponge_absorb_rows(
         gf.from_u64(rows_u)))
     assert root == tuple(tree.root())
+
+
+def test_multichip_prover_bit_identical():
+    """The production prover over the 8-device virtual mesh produces the
+    same proof bits as single-device, and the proof verifies
+    (SURVEY §4's multi-host test obligation)."""
+    import __graft_entry__
+
+    __graft_entry__.dryrun_multichip(8)
