@@ -40,17 +40,27 @@ def derive_seed(mode):
             w = rng.next_u32()
             out += w.to_bytes(4, "little")
         return out
+    if mode == "u8x64":  # each byte from a next_u64 draw's low byte
+        return bytes(rng.next_u64() & 0xFF for _ in range(32))
     raise ValueError(mode)
 
 
 import itertools
 
-for prefix, poly_full, bfe_mode, seed_mode in itertools.product(
+VARIANTS = os.environ.get(
+    "GRID",
+    "1:1:canon:u8x32,1:1:canon:fill,1:1:modp:u8x32")
+combos = [v.split(":") for v in VARIANTS.split(",")] if VARIANTS else []
+
+for combo in (combos or itertools.product(
         ("1", "0"), ("1", "0"), ("canon", "modp", "zone08"),
-        ("u8x32", "fill")):
+        ("u8x32", "fill"))):
+    prefix, poly_full, bfe_mode, seed_mode = combo[:4]
+    rounds = combo[4] if len(combo) > 4 else "12"
     os.environ["TVM_ENUM_PREFIX"] = prefix
     os.environ["TVM_FRI_POLY_FULL"] = poly_full
     os.environ["TVM_RNG_BFE"] = bfe_mode
+    os.environ["TVM_STDRNG_ROUNDS"] = rounds
     t0 = time.time()
     proof = Prover(Stark(), seed=derive_seed(seed_mode)).prove(claim, aet)
     words = proof.words
@@ -62,7 +72,7 @@ for prefix, poly_full, bfe_mode, seed_mode in itertools.product(
     }
     match = [k for k, d in digests.items() if d == GOLD]
     print(f"prefix={prefix} polyfull={poly_full} bfe={bfe_mode} "
-          f"seed={seed_mode} t={time.time()-t0:.1f}s "
+          f"seed={seed_mode} rounds={rounds} t={time.time()-t0:.1f}s "
           f"{'MATCH ' + match[0] + '!' if match else 'no'} "
           f"d={digests['struct'][0]}", flush=True)
     if match:

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import struct
 
-from ..fields.bfe import P
+from ..fields.bfe import P, R_INV as _R_INV
 
 _CONSTANTS = struct.unpack("<4I", b"expand 32-byte k")
 _MASK = 0xFFFFFFFF
@@ -39,12 +39,20 @@ def _quarter(s, a, b, c, d):
 
 
 class ChaCha12Rng:
-    """rand_chacha::ChaCha12Rng from a 32-byte seed."""
+    """rand_chacha::ChaCha12Rng from a 32-byte seed.
+
+    TVM_STDRNG_ROUNDS overrides the round count (golden-transcript
+    bisection aid — rand's StdRng cipher is explicitly not stable across
+    rand versions)."""
 
     ROUNDS = 12
 
     def __init__(self, seed: bytes):
         assert len(seed) == 32
+        import os
+
+        self.rounds = int(os.environ.get("TVM_STDRNG_ROUNDS",
+                                         str(self.ROUNDS)))
         self._key = struct.unpack("<8I", seed)
         self._counter = 0  # 64-bit block counter
         self._buf: list[int] = []
@@ -53,7 +61,7 @@ class ChaCha12Rng:
         state = list(_CONSTANTS) + list(self._key) + [
             self._counter & _MASK, (self._counter >> 32) & _MASK, 0, 0]
         ws = state[:]
-        for _ in range(self.ROUNDS // 2):
+        for _ in range(self.rounds // 2):
             _quarter(ws, 0, 4, 8, 12)
             _quarter(ws, 1, 5, 9, 13)
             _quarter(ws, 2, 6, 10, 14)
@@ -115,6 +123,13 @@ class ChaCha12Rng:
                 hi, lo = v >> 64, v & _MASK64
                 if lo <= zone:
                     return hi
+        if method == "reject":
+            while True:
+                v = self.next_u64()
+                if v < P:
+                    return v
+        if method == "rawmont":
+            return self.next_u64() * _R_INV % P
         raise ValueError(method)
 
     def random_bfes(self, n: int) -> list[int]:
@@ -162,8 +177,11 @@ def _chacha12_blocks_batch(keys, counters):
         ws[:, c] += ws[:, d]
         ws[:, b] = rotl(ws[:, b] ^ ws[:, c], 7)
 
+    import os
+
+    rounds = int(os.environ.get("TVM_STDRNG_ROUNDS", "12"))
     with np.errstate(over="ignore"):
-        for _ in range(6):
+        for _ in range(rounds // 2):
             quarter(0, 4, 8, 12)
             quarter(1, 5, 9, 13)
             quarter(2, 6, 10, 14)
@@ -228,6 +246,10 @@ def drbg_bfes_batch(seed: bytes, offsets, n: int):
         hi, lo = prod >> 64, prod & mask64
         out = hi
         bad = (lo > P - 1).any(axis=1)
+    elif method in ("reject", "rawmont"):
+        # debug-only variants: scalar reference path per row
+        out = np.empty((len(offsets), n), object)
+        bad = np.ones(len(offsets), bool)
     else:
         raise ValueError(method)
     for i in np.nonzero(bad)[0]:
