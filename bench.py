@@ -15,27 +15,75 @@ import sys
 import time
 
 
+def _merkle_auth_fixture(height: int):
+    """Merkle authentication-path workload (BASELINE config 4): verify
+    several divined paths in a height-`height` tree."""
+    import numpy as np
+
+    from triton_vm_tpu.crypto import tip5
+    from triton_vm_tpu.models import example_programs as ex
+    from triton_vm_tpu.vm.machine import NonDeterminism
+
+    rng = np.random.default_rng(11)
+    from triton_vm_tpu.fields.bfe import P
+    leaves = [tuple(int(x) for x in rng.integers(0, P, size=5))
+              for _ in range(1 << height)]
+    layers = [leaves]
+    while len(layers[-1]) > 1:
+        prev = layers[-1]
+        layers.append([tuple(tip5.hash_pair(prev[2 * i], prev[2 * i + 1]))
+                       for i in range(len(prev) // 2)])
+    root = layers[-1][0]
+
+    leaf_index = 5
+    digests = []
+    idx = leaf_index
+    for layer in layers[:-1]:
+        digests.append(layer[idx ^ 1])
+        idx //= 2
+    inputs = ([height, leaf_index]
+              + list(reversed(leaves[leaf_index])) + list(reversed(root)))
+    return (ex.merkle_verify(), inputs,
+            NonDeterminism(digests=digests))
+
+
 def main():
     os.environ.setdefault("TVM_JAX_CACHE", "1")
     from triton_vm_tpu import Claim, Stark, PublicInput, VM, profiler
     from triton_vm_tpu.models import example_programs as ex
 
     # BASELINE.md benchmark configs; select with TVM_BENCH
+    def spin16():
+        program, iterations = ex.spin(16)
+        return program, [iterations]
+
     configs = {
         # 85 loop iterations put the padded height at 2^10 (config 1)
         "fib_1024": (ex.fibonacci, [85], "prove_fib_padded_height_1024"),
         "factorial_4096": (ex.factorial, [500],
                            "prove_factorial_padded_height_4096"),
+        # config 2: loop workload at padded height 2^16
+        "spin_65536": (spin16, None, "prove_spin_padded_height_65536"),
         "hash_chain": (ex.hash_chain, [200],
                        "prove_hash_chain_hash_table_dominated"),
+        # config 4: Merkle authentication-path verification (divine +
+        # merkle_step; RAM-light, hash-heavy)
+        "merkle_auth": (None, None, "prove_merkle_auth_path"),
     }
     which = os.environ.get("TVM_BENCH", "fib_1024")
     if which not in configs:
         raise SystemExit(f"unknown TVM_BENCH={which!r}; "
                          f"choose from {sorted(configs)}")
     make_program, inputs, metric = configs[which]
-    program = make_program()
-    aet, output = VM.trace_execution(program, PublicInput(inputs))
+    non_determinism = None
+    if which == "spin_65536":
+        program, inputs = make_program()
+    elif which == "merkle_auth":
+        program, inputs, non_determinism = _merkle_auth_fixture(height=10)
+    else:
+        program = make_program()
+    aet, output = VM.trace_execution(program, PublicInput(inputs),
+                                     non_determinism)
     claim = (Claim.about_program(program)
              .with_input(inputs).with_output(output))
     stark = Stark()
