@@ -15,7 +15,10 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+# TVM_TPU_TESTS=1 (scripts/tpu_checks.py) keeps the real accelerator
+# backend for the device-pipeline bit-identity tests.
+if os.environ.get("TVM_TPU_TESTS") != "1":
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

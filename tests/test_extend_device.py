@@ -1,7 +1,19 @@
 """Device aux extension (P10 scans) vs the host reference, bit-for-bit,
-on a real trace covering program/cascade/lookup/u32 activity."""
+on a real trace covering program/cascade/lookup/u32 activity.
 
+These tests exercise the compiled 3-phase extension pipeline, which is
+only dispatched on accelerator backends (XLA:CPU's fusion passes are
+pathologically slow on the factor graphs — see extend_device.py). They
+are skipped on the CPU test mesh and run against the real TPU chip via
+scripts/tpu_checks.py."""
+
+import jax
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.skipif(
+    jax.default_backend() not in ("tpu", "axon"),
+    reason="device extension pipeline targets accelerator backends")
 
 from triton_vm_tpu.air.challenges import SAMPLE_COUNT, Challenges
 from triton_vm_tpu.air import columns

@@ -1,27 +1,49 @@
-"""Device aux-table extension (SURVEY.md §2.5 P10, partial).
+"""Device aux-table extension (SURVEY.md §2.5 P10) as a 3-phase pipeline.
 
 The reference computes every aux column as a sequential prefix scan over
 rows (running evaluations, running products, log-derivative sums — e.g.
 table/program.rs:205-264, table/lookup.rs:27-82). All of these updates
-are associative, so on TPU they become log-depth `associative_scan`s:
+are associative, so on TPU they become log-depth scans:
 
 - log derivatives: per-row summands m_i / (indeterminate - compressed_i)
-  are computed with one batched elementwise inversion (scan-free
-  Fermat), masked, and prefix-summed;
-- running evaluations: per-row affine maps acc -> a_i*acc + b_i are
-  composed with the associative rule
-  (a2,b2)o(a1,b1) = (a1*a2, b2 + a2*b1); resets and holds are just
-  (0, c) and (1, 0) elements.
-
+  with one batched elementwise inversion (scan-free Fermat), masked,
+  prefix-summed;
+- running evaluations: per-row affine maps acc -> a_i*acc + b_i composed
+  with (a2,b2)o(a1,b1) = (a1*a2, b2 + a2*b1); resets and holds are just
+  (0, c) and (1, 0) elements;
 - running products: same affine composition with b = 0.
 
-All 49 aux columns of all 9 tables are covered (P10 complete): the
-instruction-dependent per-row factors of the processor/op-stack/ram/
-jump-stack/hash extensions are computed vectorized from the main columns
-(numpy gathers + device field ops; reference semantics at
-table/processor.rs:139-263, table/op_stack.rs, table/ram.rs:212-255,
-table/jump_stack.rs, table/hash.rs). Bit-identity with the host path is
-tested in tests/test_extend_device.py.
+All 49 aux columns of all 9 tables are covered (P10 complete), in three
+phases of compiled XLA programs with materialized boundaries:
+
+  A. per-table FACTOR programs (9): purely elementwise — per-row
+     log-derivative denominators/numerators/masks and affine (a, b)
+     pairs from the packed main table + challenges;
+  B1. one SCAN program: a single batched Fermat inversion over every
+     log-derivative denominator in the protocol ((~25, h) at once), one
+     batched prefix-sum, and one batched affine scan over all
+     independent running evaluations/products;
+  B2. one ASSEMBLY program: second-round scans whose factors consume
+     first-round outputs (Program.SendChunk consumes PrepareChunk,
+     Ram.FormalDerivative consumes RunningProductOfRAMP), summand sums,
+     exclusive shifts, and the final (49, 3, 2, h) packing.
+
+Phase boundaries force materialization: XLA:CPU's fusion emitter
+re-computes multi-use producers per use, which goes exponential when two
+deep field-arithmetic chains merge into the init of a while loop
+(measured: a single `prefix_sum(s1 + s2)` over the u32 summand chains
+never terminates at h=16; `optimization_barrier` does not stop the
+merge). Materialized buffers between programs are a hard stop. The
+batched inversion/scans are also simply better TPU programs: one 63-step
+square-and-multiply loop over a (25, h) block instead of 25 loops.
+
+Host <-> device traffic per extension: 4 uploads (main-table limb
+planes, challenge limb planes) + 1 download (packed aux columns); all
+intermediate arrays stay on device. Instruction-dependent per-row
+factors follow reference semantics at table/processor.rs:139-263,
+table/op_stack.rs, table/ram.rs:212-255, table/jump_stack.rs,
+table/hash.rs. Bit-identity with the host path is tested in
+tests/test_extend_device.py.
 """
 
 from __future__ import annotations
@@ -31,23 +53,52 @@ import functools
 import numpy as np
 
 from ..air import columns
+from ..air.challenges import CHALLENGE_NAMES, ID as CH_ID
 from ..crypto import tip5
-from ..fields.bfe import P
+from ..fields.bfe import P, R_INV
 from ..ops import gf, gfx
 
 M = columns.main_index
 A = columns.aux_index
 
+MASK32 = np.uint64(0xFFFFFFFF)
+
+
+# ------------------------------------------------------------- host packing
+
+
+def _pack_u64(arr):
+    """numpy u64 (...,) -> (lo, hi) u32 numpy pair."""
+    a = np.asarray(arr, np.uint64)
+    return ((a & MASK32).astype(np.uint32),
+            (a >> np.uint64(32)).astype(np.uint32))
+
+
+def _pack_main(main):
+    """(h, 379) u64 main table -> column-major (379, h) u32 limb pair."""
+    return _pack_u64(np.ascontiguousarray(main.T))
+
+
+def _pack_challenges(challenges):
+    """Challenges -> (63, 3) u32 limb pair."""
+    arr = np.zeros((len(CHALLENGE_NAMES), 3), np.uint64)
+    for i, name in enumerate(CHALLENGE_NAMES):
+        arr[i] = challenges[name]
+    return _pack_u64(arr)
+
+
+# ------------------------------------------------------------- traced scans
+
 
 @functools.lru_cache(maxsize=4)
 def _scan_fns():
-    """Log-depth prefix scans as unrolled Hillis-Steele steps.
+    """Log-depth prefix scans along the LAST axis, as Hillis-Steele
+    ladders inside a fori_loop.
 
     Deliberately NOT lax.associative_scan: its lowering blows up the
-    XLA:CPU algebraic simplifier on our u32-limb combiners (see
-    memory: same class of pathology as unrolled Fermat chains); the
-    manual shift-and-combine ladder is log2(h) small elementwise
-    stages that XLA handles fine on every backend."""
+    XLA:CPU algebraic simplifier on our u32-limb combiners; the manual
+    shift-and-combine ladder is log2(h) small elementwise stages that
+    XLA handles fine on every backend."""
     import jax
     import jax.numpy as jnp
 
@@ -55,19 +106,19 @@ def _scan_fns():
     ONE_FILL = ((1, 0), (0, 0), (0, 0))  # XFE one: (1, 0, 0)
 
     def _shifted(v, d, fills, idx):
-        # v[i-d] at position i; positions i < d get the fill value.
+        # v[..., i-d] at position i; positions i < d get the fill value.
         # jnp.roll with a traced shift keeps the whole ladder inside ONE
-        # fori_loop body -- unrolled concat/mul ladders send XLA:CPU into
-        # pathological compiles even with optimization barriers.
+        # fori_loop body -- unrolled concat/mul ladders send XLA:CPU
+        # into pathological compiles even with optimization barriers.
         m = idx >= d
         return tuple(
-            (jnp.where(m, jnp.roll(c[0], d), f[0]),
-             jnp.where(m, jnp.roll(c[1], d), f[1]))
+            (jnp.where(m, jnp.roll(c[0], d, axis=-1), f[0]),
+             jnp.where(m, jnp.roll(c[1], d, axis=-1), f[1]))
             for c, f in zip(v, fills))
 
     def xfe_prefix_sum(v):
-        """Inclusive prefix sum of gfx (h,) along axis 0."""
-        h = v[0][0].shape[0]
+        """Inclusive prefix sum of gfx (..., h) along the last axis."""
+        h = v[0][0].shape[-1]
         idx = jnp.arange(h, dtype=jnp.uint32)
 
         def body(i, v):
@@ -77,9 +128,9 @@ def _scan_fns():
         return jax.lax.fori_loop(0, max(h - 1, 1).bit_length(), body, v)
 
     def affine_scan(a, b):
-        """Prefix-compose acc -> a_i*acc + b_i maps (inclusive):
-        returns (A, B) with value_i = A_i*acc0 + B_i."""
-        h = a[0][0].shape[0]
+        """Prefix-compose acc -> a_i*acc + b_i maps (inclusive, along
+        the last axis): returns (A, B) with value_i = A_i*acc0 + B_i."""
+        h = a[0][0].shape[-1]
         idx = jnp.arange(h, dtype=jnp.uint32)
 
         def body(i, ab):
@@ -93,21 +144,70 @@ def _scan_fns():
         return jax.lax.fori_loop(0, max(h - 1, 1).bit_length(), body,
                                  (a, b))
 
-    return (jax.jit(xfe_prefix_sum), jax.jit(affine_scan))
+    return (xfe_prefix_sum, affine_scan)
 
 
-def _chx(challenges, name):
-    return gfx.full((), tuple(challenges[name]))
+# -------------------------------------------------------- traced utilities
 
 
-def _colv(main, table, name):
-    return gf.from_u64(main[:, M(table, name)].astype(np.uint64))
+class _Ctx:
+    """Traced accessors over the packed main table and challenges."""
+
+    def __init__(self, mlo, mhi, clo, chi):
+        self.mlo, self.mhi = mlo, mhi
+        self.clo, self.chi = clo, chi
+        self.h = mlo.shape[1]
+
+    def col(self, table, name):
+        """Main column as gf (h,)."""
+        i = M(table, name)
+        return (self.mlo[i], self.mhi[i])
+
+    def ch(self, name):
+        """Challenge as gfx scalar."""
+        i = CH_ID[name]
+        return tuple((self.clo[i, c], self.chi[i, c]) for c in range(3))
+
+
+def _prev_gf(v):
+    """gf (h,) shifted down one row; row 0 becomes 0."""
+    import jax.numpy as jnp
+    return tuple(jnp.concatenate([jnp.zeros((1,), x.dtype), x[:-1]])
+                 for x in v)
+
+
+def _prev_gfx(v):
+    return tuple(_prev_gf(c) for c in v)
+
+
+def _prev_mask(m):
+    import jax.numpy as jnp
+    return jnp.concatenate([jnp.zeros((1,), bool), m[:-1]])
+
+
+def _next_gf(v):
+    """gf (h,) shifted up one row; last row becomes 0."""
+    import jax.numpy as jnp
+    return tuple(jnp.concatenate([x[1:], jnp.zeros((1,), x.dtype)])
+                 for x in v)
+
+
+def _eqc(v, c: int):
+    """gf (h,) == Python constant c (full 64-bit compare)."""
+    return (v[0] == np.uint32(c & 0xFFFFFFFF)) & \
+        (v[1] == np.uint32(c >> 32))
 
 
 def _lift(v):
-    """gf (h,) -> gfx (h,) with zero higher coefficients."""
+    """gf -> gfx with zero higher coefficients."""
     z = gf.zeros(gf.shape(v))
     return (v, z, z)
+
+
+def _bc(scalar_gfx, h):
+    """Broadcast a gfx scalar to (h,)."""
+    import jax.numpy as jnp
+    return gfx.tmap(lambda x: jnp.broadcast_to(x, (h,)), scalar_gfx)
 
 
 def _wsum(pairs):
@@ -119,166 +219,46 @@ def _wsum(pairs):
     return acc
 
 
-def _log_derivative(indeterminate, compressed, multiplicity, mask):
-    """Masked summands m/(alpha - compressed), prefix-summed."""
-    prefix_sum, _ = _scan_fns()
-    den = gfx.sub(indeterminate, compressed)
-    summand = gfx.bfe_mul(gfx.inv(den), multiplicity)
-    zero = gfx.zeros(gf.shape(multiplicity))
-    summand = gfx.select(mask, summand, zero)
-    return prefix_sum(summand)
-
-
-def _store(aux, col_index, values):
-    """values: gfx (h,) -> aux[:, col, :] (numpy)."""
-    aux[:, col_index, :] = np.stack(
-        [gf.to_u64(values[c]) for c in range(3)], axis=1)
-
-
-def extend_program_device(main, aux, challenges, h):
-    """table/program.rs:205-264 on device."""
-    prefix_sum, affine_scan = _scan_fns()
-    addr = _colv(main, "program", "Address")
-    instr_u = main[:, M("program", "Instruction")].astype(np.uint64)
-    instr = gf.from_u64(instr_u)
-    nxt_instr = gf.from_u64(np.roll(instr_u, -1))  # last row: dummy
-    mult = _colv(main, "program", "LookupMultiplicity")
-    hash_pad = main[:, M("program", "IsHashInputPadding")].astype(np.uint64)
-    table_pad = main[:, M("program", "IsTablePadding")].astype(np.uint64)
-    idx_in_chunk = main[:, M("program", "IndexInChunk")].astype(np.uint64)
-
-    ch = lambda n: _chx(challenges, n)
-
-    # instruction-lookup log derivative: exclusive prefix (value at row i
-    # excludes row i's summand; row h-1 contributes nothing)
-    compressed = _wsum([(ch("ProgramAddressWeight"), addr),
-                        (ch("ProgramInstructionWeight"), instr),
-                        (ch("ProgramNextInstructionWeight"), nxt_instr)])
-    active = (hash_pad == 0)
-    active[h - 1] = False
+def _gfx_stack(vs, axis=0):
+    """Stack a list of gfx trees along a new axis."""
     import jax.numpy as jnp
-    inclusive = _log_derivative(ch("InstructionLookupIndeterminate"),
-                                compressed, mult,
-                                jnp.asarray(active))
-    exclusive = gfx.tmap(
-        lambda x: jnp.concatenate([jnp.zeros((1,), x.dtype), x[:-1]]),
-        inclusive)
-    _store(aux, A("program", "InstructionLookupServerLogDerivative"),
-           exclusive)
-
-    # prepare-chunk running evaluation with reset at IndexInChunk == 0
-    alpha_p = ch("ProgramAttestationPrepareChunkIndeterminate")
-    hgfx = lambda s: gfx.tmap(lambda x: jnp.broadcast_to(x, (h,)), s)
-    reset = jnp.asarray(idx_in_chunk == 0)
-    a = gfx.select(reset, gfx.zeros((h,)), hgfx(alpha_p))
-    b_reset = gfx.add(hgfx(alpha_p), _lift(instr))
-    b = gfx.select(reset, b_reset, _lift(instr))
-    A_pre, B_pre = affine_scan(a, b)
-    prep = gfx.add(A_pre, B_pre)  # acc0 = ONE
-    _store(aux, A("program", "PrepareChunkRunningEvaluation"), prep)
-
-    # send-chunk running evaluation: update only on chunk-final rows
-    alpha_s = ch("ProgramAttestationSendChunkIndeterminate")
-    send_mask = jnp.asarray((table_pad == 0)
-                            & (idx_in_chunk == tip5.RATE - 1))
-    one = gfx.ones((h,))
-    a_s = gfx.select(send_mask, hgfx(alpha_s), one)
-    b_s = gfx.select(send_mask, prep, gfx.zeros((h,)))
-    A_s, B_s = affine_scan(a_s, b_s)
-    send = gfx.add(A_s, B_s)  # acc0 = ONE
-    _store(aux, A("program", "SendChunkRunningEvaluation"), send)
+    return gfx.tmap(lambda *ls: jnp.stack(ls, axis=axis), *vs)
 
 
-def extend_cascade_device(main, aux, challenges, h):
-    """table/cascade.rs extension on device."""
+def _gfx_row(v, i):
+    return gfx.tmap(lambda x: x[i], v)
+
+
+def _gf_stack(vs, axis=0):
     import jax.numpy as jnp
-
-    ch = lambda n: _chx(challenges, n)
-    is_pad = main[:, M("cascade", "IsPadding")].astype(np.uint64)
-    active = jnp.asarray(is_pad != 1)
-    lo_in = main[:, M("cascade", "LookInLo")].astype(np.uint64)
-    hi_in = main[:, M("cascade", "LookInHi")].astype(np.uint64)
-    lo_out = main[:, M("cascade", "LookOutLo")].astype(np.uint64)
-    hi_out = main[:, M("cascade", "LookOutHi")].astype(np.uint64)
-    mult = _colv(main, "cascade", "LookupMultiplicity")
-
-    look_in = gf.from_u64((hi_in << np.uint64(8)) + lo_in)
-    look_out = gf.from_u64((hi_out << np.uint64(8)) + lo_out)
-    compressed_hash = _wsum([(ch("HashCascadeLookInWeight"), look_in),
-                             (ch("HashCascadeLookOutWeight"), look_out)])
-    hash_ld = _log_derivative(ch("HashCascadeLookupIndeterminate"),
-                              compressed_hash, mult, active)
-    _store(aux, A("cascade", "HashTableServerLogDerivative"), hash_ld)
-
-    # two lookup summands per row (lo and hi limbs)
-    ones = gf.ones((h,))
-    lo = _wsum([(ch("LookupTableInputWeight"), gf.from_u64(lo_in)),
-                (ch("LookupTableOutputWeight"), gf.from_u64(lo_out))])
-    hi = _wsum([(ch("LookupTableInputWeight"), gf.from_u64(hi_in)),
-                (ch("LookupTableOutputWeight"), gf.from_u64(hi_out))])
-    ld_lo = _log_derivative(ch("CascadeLookupIndeterminate"), lo, ones,
-                            active)
-    ld_hi = _log_derivative(ch("CascadeLookupIndeterminate"), hi, ones,
-                            active)
-    _store(aux, A("cascade", "LookupTableClientLogDerivative"),
-           gfx.add(ld_lo, ld_hi))
+    return tuple(jnp.stack([v[i] for v in vs], axis=axis)
+                 for i in range(2))
 
 
-def extend_lookup_device(main, aux, challenges, h):
-    """table/lookup.rs:27-82 on device."""
-    import jax.numpy as jnp
+def _masked_product(terms, actives):
+    """prod_s select(active_s, term_s, 1), as a sequential fold.
 
-    ch = lambda n: _chx(challenges, n)
-    is_pad = main[:, M("lookup", "IsPadding")].astype(np.uint64)
-    active = jnp.asarray(is_pad != 1)
-    look_in = _colv(main, "lookup", "LookIn")
-    look_out = _colv(main, "lookup", "LookOut")
-    mult = _colv(main, "lookup", "LookupMultiplicity")
-
-    compressed = _wsum([(ch("LookupTableInputWeight"), look_in),
-                        (ch("LookupTableOutputWeight"), look_out)])
-    cascade_ld = _log_derivative(ch("CascadeLookupIndeterminate"),
-                                 compressed, mult, active)
-    _store(aux, A("lookup", "CascadeTableServerLogDerivative"), cascade_ld)
-
-    _, affine_scan = _scan_fns()
-    one = gfx.ones((h,))
-    alpha = _chx(challenges, "LookupTablePublicIndeterminate")
-    hgfx = lambda s: gfx.tmap(lambda x: jnp.broadcast_to(x, (h,)), s)
-    a = gfx.select(active, hgfx(alpha), one)
-    b = gfx.select(active, _lift(look_out), gfx.zeros((h,)))
-    A_e, B_e = affine_scan(a, b)
-    _store(aux, A("lookup", "PublicEvaluationArgument"),
-           gfx.add(A_e, B_e))  # acc0 = ONE
+    Deliberately NOT a stacked log-depth tree: slicing through stacked
+    arrays re-triggers XLA:CPU's exponential fusion-through-concatenate
+    compiles. Ten sequential gfx.muls trace fast and fuse fine."""
+    ones = gfx.ones(gf.shape(terms[0][0]))
+    factor = None
+    for t, m in zip(terms, actives):
+        ft = gfx.select(m, t, ones)
+        factor = ft if factor is None else gfx.mul(factor, ft)
+    return factor
 
 
-# ===================================================== shared helpers
-
-
-def _hgfx(scalar_gfx, h):
-    import jax.numpy as jnp
-    return gfx.tmap(lambda x: jnp.broadcast_to(x, (h,)), scalar_gfx)
-
-
-def _prefix_product(a):
-    """Inclusive prefix product of gfx (h,) via the affine scan (b=0)."""
-    _, affine_scan = _scan_fns()
-    A, _ = affine_scan(a, gfx.zeros(gf.shape(a[0])))
-    return A
-
-
-def _prev_col(arr):
-    """arr shifted down one row; row 0 becomes 0 (callers mask row 0)."""
-    out = np.roll(arr, 1)
-    out[0] = 0
-    return out
-
-
-def _xfe_scalar(x):
-    return gfx.full((), tuple(x))
+def _ch_pows(scalar, n):
+    """[scalar^0 .. scalar^n] as traced gfx scalars."""
+    pows = [gfx.ones(())]
+    for _ in range(n):
+        pows.append(gfx.mul(pows[-1], scalar))
+    return pows
 
 
 # ------------------------------------------------- instruction metadata
+
 
 @functools.lru_cache(maxsize=1)
 def _opcode_tables():
@@ -304,305 +284,453 @@ def _opcode_tables():
     return valid, arg_kind, infl_kind, infl_fixed
 
 
-def _decode_instruction_rows(ci, nia):
-    """Vectorized _instruction_from_processor_row: returns (valid, arg)
-    where arg is the NIA value clamped into u8 for table lookups."""
-    valid_t, arg_kind_t, _, _ = _opcode_tables()
-    op = np.where(ci < 256, ci, 0).astype(np.int64)
-    valid = valid_t[op] & (ci < 256)
-    kind = arg_kind_t[op]
-    arg = nia
-    valid &= ~((kind == 1) & ((arg < 1) | (arg > 5)))
-    valid &= ~((kind == 2) & (arg > 15))
-    return valid, arg
-
-
 def _op(name):
     from ..isa.instruction import _SPEC
     return _SPEC[name][0]
 
 
-# ===================================================== processor table
-
-
-def extend_processor_device(main, aux, challenges, h):
-    """table/processor.rs:107-263 on device: all 11 processor aux columns
-    as log-depth scans with vectorized per-row factors."""
+def _decode_rows(ci, nia):
+    """Traced _instruction_from_processor_row: (valid, arg_i32) where
+    arg is clamped to i32 for influence math (only used under `valid`)."""
     import jax.numpy as jnp
 
-    prefix_sum, affine_scan = _scan_fns()
-    ch = lambda n: _chx(challenges, n)
+    valid_t, arg_kind_t, _, _ = _opcode_tables()
+    in_range = _eqc_lt256(ci)
+    op = jnp.where(in_range, ci[0], 0).astype(jnp.int32)
+    valid = jnp.asarray(valid_t)[op] & in_range
+    kind = jnp.asarray(arg_kind_t)[op]
+    arg_nonzero = (nia[0] | nia[1]) != 0
+    arg_gt5 = (nia[1] > 0) | (nia[0] > 5)
+    arg_gt15 = (nia[1] > 0) | (nia[0] > 15)
+    valid &= ~((kind == 1) & (~arg_nonzero | arg_gt5))
+    valid &= ~((kind == 2) & arg_gt15)
+    arg_i32 = nia[0].astype(jnp.int32)
+    return valid, arg_i32, op
 
-    def pcol(name):
-        return main[:, M("processor", name)].astype(np.uint64)
 
-    ci = pcol("CI")
-    nia = pcol("NIA")
-    clk = pcol("CLK")
-    is_padding = pcol("IsPadding") == 1
-    st = [pcol(f"ST{k}") for k in range(16)]
-    hv = [pcol(f"HV{k}") for k in range(6)]
+def _eqc_lt256(v):
+    return (v[1] == 0) & (v[0] < 256)
 
-    prev_ci = _prev_col(ci)
-    prev_nia = _prev_col(nia)
-    row_valid, row_arg = _decode_instruction_rows(ci, nia)
-    prev_valid = np.concatenate([[False], row_valid[:-1]])
-    prev_arg = _prev_col(row_arg)
+
+# ==================================================== factor collector
+
+
+class _Collector:
+    """Gathers every scan's per-row inputs during a factor trace.
+
+    ld rows: value_i = sum_{j<=i} [mask_j] num_j / den_j, later summed
+    per column (a column may own several rows). aff rows: inclusive
+    affine composition with acc0 = ONE; column value = A + B."""
+
+    def __init__(self, h):
+        self.h = h
+        self.ld_ids = []    # col ids, one per ld row
+        self.ld_dens = []
+        self.ld_nums = []
+        self.ld_masks = []
+        self.aff_ids = []   # col ids, one per affine row
+        self.aff_a = []
+        self.aff_b = []
+
+    def ld(self, col_id, indeterminate, compressed, mult, mask):
+        import jax.numpy as jnp
+        self.ld_ids.append(col_id)
+        self.ld_dens.append(gfx.sub(_bc(indeterminate, self.h),
+                                    compressed))
+        self.ld_nums.append(mult)
+        self.ld_masks.append(jnp.broadcast_to(mask, (self.h,)))
+
+    def aff(self, col_id, a, b):
+        self.aff_ids.append(col_id)
+        self.aff_a.append(a)
+        self.aff_b.append(b)
+
+    def prod(self, col_id, factor):
+        self.aff(col_id, factor, gfx.zeros((self.h,)))
+
+    def stacked(self):
+        out = {}
+        if self.ld_ids:
+            out["ld_den"] = _gfx_stack(self.ld_dens)
+            out["ld_num"] = _gf_stack(self.ld_nums)
+            import jax.numpy as jnp
+            out["ld_mask"] = jnp.stack(self.ld_masks)
+        if self.aff_ids:
+            out["aff_a"] = _gfx_stack(self.aff_a)
+            out["aff_b"] = _gfx_stack(self.aff_b)
+        return out
+
+
+# ===================================================== per-table factors
+
+
+def _fac_program(ctx, C):
+    """table/program.rs:205-264."""
+    import jax.numpy as jnp
+
+    h, ch = ctx.h, ctx.ch
+    addr = ctx.col("program", "Address")
+    instr = ctx.col("program", "Instruction")
+    nxt_instr = _next_gf(instr)  # last row masked out below
+    mult = ctx.col("program", "LookupMultiplicity")
+    hash_pad = ctx.col("program", "IsHashInputPadding")
+    table_pad = ctx.col("program", "IsTablePadding")
+    idx_in_chunk = ctx.col("program", "IndexInChunk")
+
+    # instruction-lookup log derivative; the served value at row i
+    # excludes row i's own summand -> exclusive shift in phase B2
+    compressed = _wsum([(ch("ProgramAddressWeight"), addr),
+                        (ch("ProgramInstructionWeight"), instr),
+                        (ch("ProgramNextInstructionWeight"), nxt_instr)])
+    active = _eqc(hash_pad, 0) & (jnp.arange(h) != h - 1)
+    C.ld(A("program", "InstructionLookupServerLogDerivative"),
+         ch("InstructionLookupIndeterminate"), compressed, mult, active)
+
+    # prepare-chunk running evaluation with reset at IndexInChunk == 0
+    alpha_p = ch("ProgramAttestationPrepareChunkIndeterminate")
+    reset = _eqc(idx_in_chunk, 0)
+    a = gfx.select(reset, gfx.zeros((h,)), _bc(alpha_p, h))
+    b_reset = gfx.add(_bc(alpha_p, h), _lift(instr))
+    b = gfx.select(reset, b_reset, _lift(instr))
+    C.aff(A("program", "PrepareChunkRunningEvaluation"), a, b)
+    # send-chunk consumes the prepare-chunk scan -> phase B2
+
+
+def _fac_cascade(ctx, C):
+    """table/cascade.rs extension."""
+    h, ch = ctx.h, ctx.ch
+    active = ~_eqc(ctx.col("cascade", "IsPadding"), 1)
+    lo_in = ctx.col("cascade", "LookInLo")
+    hi_in = ctx.col("cascade", "LookInHi")
+    lo_out = ctx.col("cascade", "LookOutLo")
+    hi_out = ctx.col("cascade", "LookOutHi")
+    mult = ctx.col("cascade", "LookupMultiplicity")
+
+    look_in = gf.add(gf.mul_const(hi_in, 1 << 8), lo_in)
+    look_out = gf.add(gf.mul_const(hi_out, 1 << 8), lo_out)
+    compressed_hash = _wsum([(ch("HashCascadeLookInWeight"), look_in),
+                             (ch("HashCascadeLookOutWeight"), look_out)])
+    C.ld(A("cascade", "HashTableServerLogDerivative"),
+         ch("HashCascadeLookupIndeterminate"), compressed_hash, mult,
+         active)
+
+    # two lookup summands per row (lo and hi limbs) -> same column
+    ones = gf.ones((h,))
+    lo = _wsum([(ch("LookupTableInputWeight"), lo_in),
+                (ch("LookupTableOutputWeight"), lo_out)])
+    hi = _wsum([(ch("LookupTableInputWeight"), hi_in),
+                (ch("LookupTableOutputWeight"), hi_out)])
+    cid = A("cascade", "LookupTableClientLogDerivative")
+    C.ld(cid, ch("CascadeLookupIndeterminate"), lo, ones, active)
+    C.ld(cid, ch("CascadeLookupIndeterminate"), hi, ones, active)
+
+
+def _fac_lookup(ctx, C):
+    """table/lookup.rs:27-82."""
+    h, ch = ctx.h, ctx.ch
+    active = ~_eqc(ctx.col("lookup", "IsPadding"), 1)
+    look_in = ctx.col("lookup", "LookIn")
+    look_out = ctx.col("lookup", "LookOut")
+    mult = ctx.col("lookup", "LookupMultiplicity")
+
+    compressed = _wsum([(ch("LookupTableInputWeight"), look_in),
+                        (ch("LookupTableOutputWeight"), look_out)])
+    C.ld(A("lookup", "CascadeTableServerLogDerivative"),
+         ch("CascadeLookupIndeterminate"), compressed, mult, active)
+
+    one = gfx.ones((h,))
+    alpha = ch("LookupTablePublicIndeterminate")
+    a = gfx.select(active, _bc(alpha, h), one)
+    b = gfx.select(active, _lift(look_out), gfx.zeros((h,)))
+    C.aff(A("lookup", "PublicEvaluationArgument"), a, b)
+
+
+class _ProcPrelude:
+    """Shared decoded quantities for the processor factor sub-programs.
+
+    The processor table's factor graph is too large for one XLA:CPU
+    compile (the fusion passes go superlinear); it is split into four
+    programs, each recomputing this cheap elementwise prelude."""
+
+    def __init__(self, ctx):
+        import jax.numpy as jnp
+
+        pcol = lambda n: ctx.col("processor", n)
+        self.pcol = pcol
+        self.ci = pcol("CI")
+        self.nia = pcol("NIA")
+        self.clk = pcol("CLK")
+        self.is_padding = _eqc(pcol("IsPadding"), 1)
+        self.st = [pcol(f"ST{k}") for k in range(16)]
+        self.hv = [pcol(f"HV{k}") for k in range(6)]
+        self.prev_st = [_prev_gf(s) for s in self.st]
+        self.prev_hv = [_prev_gf(v) for v in self.hv]
+        self.prev_clk = _prev_gf(self.clk)
+        row_valid, row_arg, _ = _decode_rows(self.ci, self.nia)
+        self.prev_valid = _prev_mask(row_valid)
+        self.prev_arg = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), row_arg[:-1]])
+        self.prev_ci_is = \
+            lambda opcode: _prev_mask(_eqc(self.ci, opcode))
+
+
+def _fac_processor_io(ctx, C):
+    """processor.rs: io eval args + instruction lookup + jump stack."""
+    h, ch = ctx.h, ctx.ch
+    p = _ProcPrelude(ctx)
+    ci, nia, clk = p.ci, p.nia, p.clk
+    st, prev_st = p.st, p.prev_st
+    prev_valid, prev_arg, prev_ci_is = \
+        p.prev_valid, p.prev_arg, p.prev_ci_is
+    is_padding = p.is_padding
+    pcol = p.pcol
 
     one = gfx.ones((h,))
     zero = gfx.zeros((h,))
 
     # --- input / output eval args (dest-indexed; prev instr read/write_io)
-    read_io_op, write_io_op = _op("read_io"), _op("write_io")
-    beta_in = challenges["StandardInputIndeterminate"]
-    beta_out = challenges["StandardOutputIndeterminate"]
-    for which, opcode, beta in (("in", read_io_op, beta_in),
-                                ("out", write_io_op, beta_out)):
-        from ..fields import xfe as _xfe
-        powers = [_xfe.mod_pow(tuple(beta), k) for k in range(6)]
+    for which, opcode, beta_name in (
+            ("in", _op("read_io"), "StandardInputIndeterminate"),
+            ("out", _op("write_io"), "StandardOutputIndeterminate")):
+        pows = _ch_pows(ch(beta_name), 5)
         a = one
         b = zero
-        st_rows = st if which == "in" else [_prev_col(s) for s in st]
+        st_rows = st if which == "in" else prev_st
+        op_mask = prev_ci_is(opcode) & prev_valid
         for n in range(1, 6):
-            mask = jnp.asarray((prev_ci == opcode) & prev_valid
-                               & (prev_arg == n))
-            mask = mask.at[0].set(False)
+            mask = op_mask & (prev_arg == n)
             if which == "in":
-                b_n = _wsum([(_xfe_scalar(powers[k]), gf.from_u64(st_rows[k]))
-                             for k in range(n)])
+                b_n = _wsum([(pows[k], st_rows[k]) for k in range(n)])
             else:
-                b_n = _wsum([(_xfe_scalar(powers[n - 1 - k]),
-                              gf.from_u64(st_rows[k])) for k in range(n)])
-            a = gfx.select(mask, _hgfx(_xfe_scalar(powers[n]), h), a)
+                b_n = _wsum([(pows[n - 1 - k], st_rows[k])
+                             for k in range(n)])
+            a = gfx.select(mask, _bc(pows[n], h), a)
             b = gfx.select(mask, b_n, b)
-        A_, B_ = affine_scan(a, b)
         colname = ("InputTableEvalArg" if which == "in"
                    else "OutputTableEvalArg")
-        _store(aux, A("processor", colname), gfx.add(A_, B_))
+        C.aff(A("processor", colname), a, b)
 
     # --- instruction lookup client log derivative (inclusive)
     compressed = _wsum([
-        (ch("ProgramAddressWeight"), gf.from_u64(pcol("IP"))),
-        (ch("ProgramInstructionWeight"), gf.from_u64(ci)),
-        (ch("ProgramNextInstructionWeight"), gf.from_u64(nia))])
-    active = jnp.asarray(~is_padding)
-    ld = _log_derivative(ch("InstructionLookupIndeterminate"), compressed,
-                         gf.ones((h,)), active)
-    _store(aux, A("processor", "InstructionLookupClientLogDerivative"), ld)
-
-    # --- op stack table perm arg (dest-indexed running product)
-    _, _, infl_kind_t, infl_fixed_t = _opcode_tables()
-    opi = np.where(prev_ci < 256, prev_ci, 0).astype(np.int64)
-    kind = infl_kind_t[opi]
-    influence = np.where(
-        kind == 0, infl_fixed_t[opi].astype(np.int64),
-        np.where(kind == 1, prev_arg.astype(np.int64),
-                 -prev_arg.astype(np.int64)))
-    influence = np.where(prev_valid, influence, 0)
-    factor_active = ~is_padding & prev_valid
-    factor_active[0] = False
-    delta = np.abs(influence)
-    use_prev = influence > 0
-
-    prev_clk = _prev_col(clk)
-    prev_ib1 = _prev_col(pcol("IB1"))
-    osp = pcol("OpStackPointer")
-    prev_osp = _prev_col(osp)
-    prev_st = [_prev_col(s) for s in st]
-
-    factor = one
-    for off in range(10):  # |influence| is at most 10 (sponge_{absorb,squeeze})
-        slot_active = factor_active & (off < delta)
-        underflow = np.where(use_prev, prev_st[15 - off], st[15 - off])
-        pointer_base = np.where(use_prev, prev_osp, osp)
-        pointer = (pointer_base.astype(object) + off) % P
-        term = gfx.sub(
-            _hgfx(ch("OpStackIndeterminate"), h),
-            _wsum([(ch("OpStackClkWeight"), gf.from_u64(prev_clk)),
-                   (ch("OpStackIb1Weight"), gf.from_u64(prev_ib1)),
-                   (ch("OpStackPointerWeight"),
-                    gf.from_u64(pointer.astype(np.uint64))),
-                   (ch("OpStackFirstUnderflowElementWeight"),
-                    gf.from_u64(underflow))]))
-        factor = gfx.select(jnp.asarray(slot_active),
-                            gfx.mul(factor, term), factor)
-    _store(aux, A("processor", "OpStackTablePermArg"),
-           _prefix_product(factor))
-
-    # --- ram table perm arg (dest-indexed running product, <= 10 slots)
-    ram_factor = _ram_factors_device(
-        main, challenges, h, prev_ci, prev_arg, prev_valid, is_padding,
-        prev_clk, st, prev_st, hv)
-    _store(aux, A("processor", "RamTablePermArg"),
-           _prefix_product(ram_factor))
+        (ch("ProgramAddressWeight"), pcol("IP")),
+        (ch("ProgramInstructionWeight"), ci),
+        (ch("ProgramNextInstructionWeight"), nia)])
+    C.ld(A("processor", "InstructionLookupClientLogDerivative"),
+         ch("InstructionLookupIndeterminate"), compressed,
+         gf.ones((h,)), ~is_padding)
 
     # --- jump stack perm arg (inclusive running product)
     compressed = _wsum([
-        (ch("JumpStackClkWeight"), gf.from_u64(clk)),
-        (ch("JumpStackCiWeight"), gf.from_u64(ci)),
-        (ch("JumpStackJspWeight"), gf.from_u64(pcol("JSP"))),
-        (ch("JumpStackJsoWeight"), gf.from_u64(pcol("JSO"))),
-        (ch("JumpStackJsdWeight"), gf.from_u64(pcol("JSD")))])
-    term = gfx.sub(_hgfx(ch("JumpStackIndeterminate"), h), compressed)
-    _store(aux, A("processor", "JumpStackTablePermArg"),
-           _prefix_product(term))
+        (ch("JumpStackClkWeight"), clk),
+        (ch("JumpStackCiWeight"), ci),
+        (ch("JumpStackJspWeight"), pcol("JSP")),
+        (ch("JumpStackJsoWeight"), pcol("JSO")),
+        (ch("JumpStackJsdWeight"), pcol("JSD"))])
+    C.prod(A("processor", "JumpStackTablePermArg"),
+           gfx.sub(_bc(ch("JumpStackIndeterminate"), h), compressed))
+
+    # --- clock jump difference lookup server log derivative (inclusive)
+    mult = pcol("ClockJumpDifferenceLookupMultiplicity")
+    C.ld(A("processor", "ClockJumpDifferenceLookupServerLogDerivative"),
+         ch("ClockJumpDifferenceLookupIndeterminate"), _lift(clk), mult,
+         ~gf.is_zero(mult))
+
+
+def _fac_processor_stack(ctx, C):
+    """processor.rs: op-stack + RAM running-product factors."""
+    import jax.numpy as jnp
+
+    h, ch = ctx.h, ctx.ch
+    p = _ProcPrelude(ctx)
+    ci, clk = p.ci, p.clk
+    st, prev_st, prev_hv = p.st, p.prev_st, p.prev_hv
+    prev_clk = p.prev_clk
+    prev_valid, prev_arg, prev_ci_is = \
+        p.prev_valid, p.prev_arg, p.prev_ci_is
+    is_padding = p.is_padding
+    pcol = p.pcol
+
+    # --- op stack table perm arg (dest-indexed running product)
+    _, _, infl_kind_t, infl_fixed_t = _opcode_tables()
+    opi = jnp.where(_eqc_lt256(ci), ci[0], 0).astype(jnp.int32)
+    prev_opi = jnp.concatenate([jnp.zeros((1,), jnp.int32), opi[:-1]])
+    kind = jnp.asarray(infl_kind_t)[prev_opi]
+    influence = jnp.where(
+        kind == 0, jnp.asarray(infl_fixed_t)[prev_opi].astype(jnp.int32),
+        jnp.where(kind == 1, prev_arg, -prev_arg))
+    influence = jnp.where(prev_valid, influence, 0)
+    factor_active = ~is_padding & prev_valid
+    delta = jnp.abs(influence)
+    use_prev = influence > 0
+
+    prev_ib1 = _prev_gf(pcol("IB1"))
+    osp = pcol("OpStackPointer")
+    prev_osp = _prev_gf(osp)
+
+    # slot-invariant part of every term, hoisted out of the slot loop
+    os_base = gfx.sub(
+        _bc(ch("OpStackIndeterminate"), h),
+        _wsum([(ch("OpStackClkWeight"), prev_clk),
+               (ch("OpStackIb1Weight"), prev_ib1)]))
+    pointer0 = gf.select(use_prev, prev_osp, osp)
+    terms, actives = [], []
+    for off in range(10):  # |influence| <= 10 (sponge_{absorb,squeeze})
+        underflow = gf.select(use_prev, prev_st[15 - off], st[15 - off])
+        pointer = gf.add(pointer0, gf.full((), off))
+        terms.append(gfx.sub(os_base, _wsum([
+            (ch("OpStackPointerWeight"), pointer),
+            (ch("OpStackFirstUnderflowElementWeight"), underflow)])))
+        actives.append(factor_active & (off < delta))
+    C.prod(A("processor", "OpStackTablePermArg"),
+           _masked_product(terms, actives))
+
+    # --- ram table perm arg (dest-indexed running product, <= 10 slots)
+    C.prod(A("processor", "RamTablePermArg"), _ram_factors(
+        ctx, prev_ci_is, prev_arg, prev_valid, is_padding,
+        prev_clk, st, prev_st, prev_hv))
+
+
+def _fac_processor_hash(ctx, C):
+    """processor.rs: hash-input/digest/sponge eval-arg factors."""
+    h, ch = ctx.h, ctx.ch
+    p = _ProcPrelude(ctx)
+    ci = p.ci
+    st, hv, prev_st, prev_hv = p.st, p.hv, p.prev_st, p.prev_hv
+    prev_ci_is = p.prev_ci_is
+
+    one = gfx.ones((h,))
+    zero = gfx.zeros((h,))
 
     # --- hash input eval arg (row-indexed affine scan)
-    HASH_OP, MS_OP, MSM_OP = _op("hash"), _op("merkle_step"), \
-        _op("merkle_step_mem")
-    is_hash = ci == HASH_OP
-    is_merkle = (ci == MS_OP) | (ci == MSM_OP)
-    left = st[5] % 2 == 0
+    is_hash = _eqc(ci, _op("hash"))
+    is_merkle = _eqc(ci, _op("merkle_step")) | \
+        _eqc(ci, _op("merkle_step_mem"))
+    left = (st[5][0] & 1) == 0
     sw = [ch(f"StackWeight{k}") for k in range(16)]
-    hash_comp = _wsum([(sw[k], gf.from_u64(st[k])) for k in range(10)])
-    merkle_l = _wsum([(sw[k], gf.from_u64(st[k])) for k in range(5)]
-                     + [(sw[5 + k], gf.from_u64(hv[k])) for k in range(5)])
-    merkle_r = _wsum([(sw[k], gf.from_u64(hv[k])) for k in range(5)]
-                     + [(sw[5 + k], gf.from_u64(st[k])) for k in range(5)])
-    comp = gfx.select(jnp.asarray(is_hash), hash_comp,
-                      gfx.select(jnp.asarray(left), merkle_l, merkle_r))
-    mask = jnp.asarray(is_hash | is_merkle)
-    a = gfx.select(mask, _hgfx(ch("HashInputIndeterminate"), h), one)
+    hash_comp = _wsum([(sw[k], st[k]) for k in range(10)])
+    merkle_l = _wsum([(sw[k], st[k]) for k in range(5)]
+                     + [(sw[5 + k], hv[k]) for k in range(5)])
+    merkle_r = _wsum([(sw[k], hv[k]) for k in range(5)]
+                     + [(sw[5 + k], st[k]) for k in range(5)])
+    comp = gfx.select(is_hash, hash_comp,
+                      gfx.select(left, merkle_l, merkle_r))
+    mask = is_hash | is_merkle
+    a = gfx.select(mask, _bc(ch("HashInputIndeterminate"), h), one)
     b = gfx.select(mask, comp, zero)
-    A_, B_ = affine_scan(a, b)
-    _store(aux, A("processor", "HashInputEvalArg"), gfx.add(A_, B_))
+    C.aff(A("processor", "HashInputEvalArg"), a, b)
 
     # --- hash digest eval arg (dest-indexed affine scan)
-    prev_hashy = np.concatenate([[False], (is_hash | is_merkle)[:-1]])
-    digest_comp = _wsum([(sw[k], gf.from_u64(st[k])) for k in range(5)])
-    mask = jnp.asarray(prev_hashy)
-    a = gfx.select(mask, _hgfx(ch("HashDigestIndeterminate"), h), one)
-    b = gfx.select(mask, digest_comp, zero)
-    A_, B_ = affine_scan(a, b)
-    _store(aux, A("processor", "HashDigestEvalArg"), gfx.add(A_, B_))
+    prev_hashy = _prev_mask(mask)
+    digest_comp = _wsum([(sw[k], st[k]) for k in range(5)])
+    a = gfx.select(prev_hashy, _bc(ch("HashDigestIndeterminate"), h), one)
+    b = gfx.select(prev_hashy, digest_comp, zero)
+    C.aff(A("processor", "HashDigestEvalArg"), a, b)
 
     # --- sponge eval arg (dest-indexed affine scan, 4 instruction cases)
     SI, SA, SAM, SS = (_op("sponge_init"), _op("sponge_absorb"),
                        _op("sponge_absorb_mem"), _op("sponge_squeeze"))
     ci_w = ch("HashCIWeight")
-    sponge_ind = ch("SpongeIndeterminate")
 
     def const_term(val):
         return gfx.bfe_mul(ci_w, gf.full((h,), val))
 
     absorb_comp = gfx.add(const_term(SA), _wsum(
-        [(sw[k], gf.from_u64(prev_st[k])) for k in range(10)]))
-    sam_elements = ([st[k] for k in (1, 2, 3, 4)]
-                    + [_prev_col(h_) for h_ in hv])
+        [(sw[k], prev_st[k]) for k in range(10)]))
+    sam_elements = [st[k] for k in (1, 2, 3, 4)] + prev_hv
     sam_comp = gfx.add(const_term(SA), _wsum(
-        [(sw[k], gf.from_u64(e)) for k, e in enumerate(sam_elements)]))
+        [(sw[k], e) for k, e in enumerate(sam_elements)]))
     squeeze_comp = gfx.add(const_term(SS), _wsum(
-        [(sw[k], gf.from_u64(st[k])) for k in range(10)]))
+        [(sw[k], st[k]) for k in range(10)]))
     init_comp = const_term(SI)
 
     b = zero
+    mask_any = None
     for opcode, comp in ((SI, init_comp), (SA, absorb_comp),
                          (SAM, sam_comp), (SS, squeeze_comp)):
-        m = jnp.asarray(np.concatenate([[False], (ci == opcode)[:-1]]))
+        m = prev_ci_is(opcode)
         b = gfx.select(m, comp, b)
-    mask_any = np.concatenate(
-        [[False], np.isin(ci, [SI, SA, SAM, SS])[:-1]])
-    a = gfx.select(jnp.asarray(mask_any), _hgfx(sponge_ind, h), one)
-    A_, B_ = affine_scan(a, b)
-    _store(aux, A("processor", "SpongeEvalArg"), gfx.add(A_, B_))
-
-    # --- u32 lookup client log derivative (dest-indexed, <= 2 summands)
-    u32_ld = _u32_summands_device(
-        challenges, h, ci, st, prev_ci, prev_st)
-    _store(aux, A("processor", "U32LookupClientLogDerivative"), u32_ld)
-
-    # --- clock jump difference lookup server log derivative (inclusive)
-    mult = pcol("ClockJumpDifferenceLookupMultiplicity")
-    ld = _log_derivative(ch("ClockJumpDifferenceLookupIndeterminate"),
-                         gfx.lift(gf.from_u64(clk)), gf.from_u64(mult),
-                         jnp.asarray(mult != 0))
-    _store(aux, A("processor",
-                  "ClockJumpDifferenceLookupServerLogDerivative"), ld)
+        mask_any = m if mask_any is None else (mask_any | m)
+    a = gfx.select(mask_any, _bc(ch("SpongeIndeterminate"), h), one)
+    C.aff(A("processor", "SpongeEvalArg"), a, b)
 
 
-def _ram_factors_device(main, challenges, h, prev_ci, prev_arg, prev_valid,
-                        is_padding, prev_clk, st, prev_st, hv):
-    """Vectorized factor_for_ram_table_running_product
+def _fac_processor_u32(ctx, C):
+    """processor.rs: u32 lookup client factors (<= 2 summands/row)."""
+    p = _ProcPrelude(ctx)
+    _u32_summands(ctx, C, p.ci, p.st, p.prev_ci_is, p.prev_st)
+
+
+def _ram_factors(ctx, prev_ci_is, prev_arg, prev_valid, is_padding,
+                 prev_clk, st, prev_st, prev_hv):
+    """Traced factor_for_ram_table_running_product
     (processor.rs:646-741): up to 10 (pointer, value) accesses per row."""
     import jax.numpy as jnp
 
-    ch = lambda n: _chx(challenges, n)
-    prev_hv = [_prev_col(h_) for h_ in hv]
+    h, ch = ctx.h, ctx.ch
 
-    READ, WRITE = _op("read_mem"), _op("write_mem")
-    SAM, MSM = _op("sponge_absorb_mem"), _op("merkle_step_mem")
-    BH, XH = _op("b_horner_step"), _op("x_horner_step")
+    is_read = prev_ci_is(_op("read_mem")) & prev_valid
+    is_write = prev_ci_is(_op("write_mem")) & prev_valid
+    is_sam = prev_ci_is(_op("sponge_absorb_mem"))
+    is_msm = prev_ci_is(_op("merkle_step_mem"))
+    is_bh = prev_ci_is(_op("b_horner_step"))
+    is_xh = prev_ci_is(_op("x_horner_step"))
+    base_active = ~is_padding & (jnp.arange(h) > 0)
 
-    is_read = (prev_ci == READ) & prev_valid
-    is_write = (prev_ci == WRITE) & prev_valid
-    is_sam = prev_ci == SAM
-    is_msm = prev_ci == MSM
-    is_bh = prev_ci == BH
-    is_xh = prev_ci == XH
-    base_active = ~is_padding
-    base_active[0] = False
+    itype = gf.select(is_write, gf.zeros((h,)), gf.ones((h,)))
 
-    itype = np.where(is_write, 0, 1).astype(np.uint64)
-
-    def modp(arr_obj):
-        return (arr_obj % P).astype(np.uint64)
-
-    # per-slot (active, pointer, value), slots 0..9
-    n_acc = np.zeros(h, np.int64)
-    n_acc = np.where(is_read | is_write, prev_arg.astype(np.int64), n_acc)
-    n_acc = np.where(is_sam, 10, n_acc)
-    n_acc = np.where(is_msm, 5, n_acc)
-    n_acc = np.where(is_bh, 1, n_acc)
-    n_acc = np.where(is_xh, 3, n_acc)
+    # per-slot access count
+    n_acc = jnp.zeros(h, jnp.int32)
+    n_acc = jnp.where(is_read | is_write, prev_arg, n_acc)
+    n_acc = jnp.where(is_sam, 10, n_acc)
+    n_acc = jnp.where(is_msm, 5, n_acc)
+    n_acc = jnp.where(is_bh, 1, n_acc)
+    n_acc = jnp.where(is_xh, 3, n_acc)
 
     sam_vals = [st[1], st[2], st[3], st[4]] + prev_hv[:6]
-    one = gfx.ones((h,))
-    factor = one
+    zero = gf.zeros((h,))
+    # slot-invariant part of every term, hoisted out of the slot loop
+    base = gfx.sub(
+        _bc(ch("RamIndeterminate"), h),
+        _wsum([(ch("RamClkWeight"), prev_clk),
+               (ch("RamInstructionTypeWeight"), itype)]))
+    terms, actives = [], []
     for s in range(10):
-        active = base_active & (s < n_acc)
-        if not active.any():
-            continue
-        # pointers
-        ptr = np.zeros(h, object)
-        val = np.zeros(h, np.uint64)
-        ptr = np.where(is_read, (st[0].astype(object) + s + 1),
-                       ptr)
-        val = np.where(is_read & (s < 5),
-                       st[min(s + 1, 15)], val)
-        ptr = np.where(is_write, (prev_st[0].astype(object) + s), ptr)
-        val = np.where(is_write & (s < 5), prev_st[min(s + 1, 15)], val)
-        ptr = np.where(is_sam, (prev_st[0].astype(object) + s), ptr)
-        val = np.where(is_sam, sam_vals[s], val)
+        ptr = zero
+        val = zero
+        ptr = gf.select(is_read, gf.add(st[0], gf.full((), s + 1)), ptr)
         if s < 5:
-            ptr = np.where(is_msm, (prev_st[7].astype(object) + s), ptr)
-            val = np.where(is_msm, prev_hv[s], val)
+            val = gf.select(is_read, st[s + 1], val)
+        ptr = gf.select(is_write, gf.add(prev_st[0], gf.full((), s)), ptr)
+        if s < 5:
+            val = gf.select(is_write, prev_st[s + 1], val)
+        ptr = gf.select(is_sam, gf.add(prev_st[0], gf.full((), s)), ptr)
+        val = gf.select(is_sam, sam_vals[s], val)
+        if s < 5:
+            ptr = gf.select(is_msm, gf.add(prev_st[7], gf.full((), s)),
+                            ptr)
+            val = gf.select(is_msm, prev_hv[s], val)
         if s < 1:
-            ptr = np.where(is_bh, prev_st[5].astype(object), ptr)
-            val = np.where(is_bh, prev_hv[0], val)
+            ptr = gf.select(is_bh, prev_st[5], ptr)
+            val = gf.select(is_bh, prev_hv[0], val)
         if s < 3:
-            ptr = np.where(is_xh,
-                           (prev_st[5].astype(object) + (P - 2 + s)), ptr)
-            val = np.where(is_xh, prev_hv[s], val)
-        ptr = modp(ptr)
+            ptr = gf.select(is_xh,
+                            gf.add(prev_st[5], gf.full((), (P - 2 + s) % P)),
+                            ptr)
+            val = gf.select(is_xh, prev_hv[s], val)
 
-        term = gfx.sub(
-            _hgfx(ch("RamIndeterminate"), h),
-            _wsum([(ch("RamClkWeight"), gf.from_u64(prev_clk)),
-                   (ch("RamInstructionTypeWeight"), gf.from_u64(itype)),
-                   (ch("RamPointerWeight"), gf.from_u64(ptr)),
-                   (ch("RamValueWeight"), gf.from_u64(val))]))
-        factor = gfx.select(jnp.asarray(active), gfx.mul(factor, term),
-                            factor)
-    return factor
+        terms.append(gfx.sub(base, _wsum([
+            (ch("RamPointerWeight"), ptr),
+            (ch("RamValueWeight"), val)])))
+        actives.append(base_active & (s < n_acc))
+    return _masked_product(terms, actives)
 
 
-def _u32_summands_device(challenges, h, ci, st, prev_ci, prev_st):
-    """Vectorized u32-coprocessor log-derivative summands
-    (processor.rs u32 section); returns the inclusive prefix sum."""
+def _u32_summands(ctx, C, ci, st, prev_ci_is, prev_st):
+    """Traced u32-coprocessor log-derivative summands
+    (processor.rs u32 section): two rows into one column."""
     import jax.numpy as jnp
 
-    prefix_sum, _ = _scan_fns()
-    ch = lambda n: _chx(challenges, n)
+    h, ch = ctx.h, ctx.ch
     SPLIT, LT, AND, XOR = _op("split"), _op("lt"), _op("and"), _op("xor")
     LOG2, POW, DIVMOD, POPCNT = (_op("log_2_floor"), _op("pow"),
                                  _op("div_mod"), _op("pop_count"))
@@ -614,16 +742,17 @@ def _u32_summands_device(challenges, h, ci, st, prev_ci, prev_st):
 
     inv2 = pow(2, P - 2, P)
     and_result = gf.mul_const(
-        gf.sub(gf.add(gf.from_u64(prev_st[0]), gf.from_u64(prev_st[1])),
-               gf.from_u64(st[0])), inv2)
+        gf.sub(gf.add(prev_st[0], prev_st[1]), st[0]), inv2)
 
-    is_split = prev_ci == SPLIT
-    is_ltandpow = np.isin(prev_ci, [LT, AND, POW])
-    is_xor = prev_ci == XOR
-    is_log2pop = np.isin(prev_ci, [LOG2, POPCNT])
-    is_divmod = prev_ci == DIVMOD
-    is_merkle = np.isin(prev_ci, [MS, MSM])
-    not_first = np.arange(h) > 0
+    prev_ci = _prev_gf(ci)
+
+    is_split = prev_ci_is(SPLIT)
+    is_ltandpow = prev_ci_is(LT) | prev_ci_is(AND) | prev_ci_is(POW)
+    is_xor = prev_ci_is(XOR)
+    is_log2pop = prev_ci_is(LOG2) | prev_ci_is(POPCNT)
+    is_divmod = prev_ci_is(DIVMOD)
+    is_merkle = prev_ci_is(MS) | prev_ci_is(MSM)
+    not_first = jnp.arange(h) > 0
 
     def comp(lhs=None, rhs=None, ci_val=None, res=None):
         parts = []
@@ -640,201 +769,148 @@ def _u32_summands_device(challenges, h, ci, st, prev_ci, prev_st):
             acc = gfx.add(acc, p)
         return acc
 
-    g = gf.from_u64
     const = lambda v: gf.full((h,), v)
 
-    # slot 1: every u32-ish instruction contributes one summand
+    # row 1: every u32-ish instruction contributes one summand
     comp1 = gfx.zeros((h,))
     cases = [
-        (is_split, comp(lhs=g(st[0]), rhs=g(st[1]), ci_val=const(SPLIT))),
-        (is_ltandpow, comp(lhs=g(prev_st[0]), rhs=g(prev_st[1]),
-                           ci_val=g(prev_ci), res=g(st[0]))),
-        (is_xor, comp(lhs=g(prev_st[0]), rhs=g(prev_st[1]),
+        (is_split, comp(lhs=st[0], rhs=st[1], ci_val=const(SPLIT))),
+        (is_ltandpow, comp(lhs=prev_st[0], rhs=prev_st[1],
+                           ci_val=prev_ci, res=st[0])),
+        (is_xor, comp(lhs=prev_st[0], rhs=prev_st[1],
                       ci_val=const(AND), res=and_result)),
-        (is_log2pop, comp(lhs=g(prev_st[0]), ci_val=g(prev_ci),
-                          res=g(st[0]))),
-        (is_divmod, comp(lhs=g(st[0]), rhs=g(prev_st[1]),
+        (is_log2pop, comp(lhs=prev_st[0], ci_val=prev_ci, res=st[0])),
+        (is_divmod, comp(lhs=st[0], rhs=prev_st[1],
                          ci_val=const(LT), res=gf.ones((h,)))),
-        (is_merkle, comp(lhs=g(prev_st[5]), rhs=g(st[5]),
-                         ci_val=const(SPLIT))),
+        (is_merkle, comp(lhs=prev_st[5], rhs=st[5], ci_val=const(SPLIT))),
     ]
-    active1 = np.zeros(h, bool)
+    active1 = None
     for m, c in cases:
         mm = m & not_first
-        comp1 = gfx.select(jnp.asarray(mm), c, comp1)
-        active1 |= mm
+        comp1 = gfx.select(mm, c, comp1)
+        active1 = mm if active1 is None else (active1 | mm)
+    cid = A("processor", "U32LookupClientLogDerivative")
+    ones = gf.ones((h,))
+    C.ld(cid, alpha, comp1, ones, active1)
 
-    den1 = gfx.sub(_hgfx(alpha, h), comp1)
-    summand1 = gfx.inv(den1)
-    summand1 = gfx.select(jnp.asarray(active1), summand1, gfx.zeros((h,)))
-
-    # slot 2: div_mod's second (range-check) summand
+    # row 2: div_mod's second (range-check) summand
     active2 = is_divmod & not_first
-    comp2 = comp(lhs=g(prev_st[0]), rhs=g(st[1]), ci_val=const(SPLIT))
-    summand2 = gfx.inv(gfx.sub(_hgfx(alpha, h), comp2))
-    summand2 = gfx.select(jnp.asarray(active2), summand2, gfx.zeros((h,)))
-
-    return prefix_sum(gfx.add(summand1, summand2))
+    comp2 = comp(lhs=prev_st[0], rhs=st[1], ci_val=const(SPLIT))
+    C.ld(cid, alpha, comp2, ones, active2)
 
 
-# ===================================================== op-stack table
-
-
-def extend_op_stack_device(main, aux, challenges, h):
-    """table/op_stack.rs extension on device."""
+def _fac_op_stack(ctx, C):
+    """table/op_stack.rs extension."""
     import jax.numpy as jnp
 
-    ch = lambda n: _chx(challenges, n)
-    col = lambda n: main[:, M("op_stack", n)].astype(np.uint64)
+    h, ch = ctx.h, ctx.ch
+    col = lambda n: ctx.col("op_stack", n)
     clk, ib1 = col("CLK"), col("IB1ShrinkStack")
     ptr, under = col("StackPointer"), col("FirstUnderflowElement")
-    not_padding = ib1 != 2
+    not_padding = ~_eqc(ib1, 2)
 
     compressed = _wsum([
-        (ch("OpStackClkWeight"), gf.from_u64(clk)),
-        (ch("OpStackIb1Weight"), gf.from_u64(ib1)),
-        (ch("OpStackPointerWeight"), gf.from_u64(ptr)),
-        (ch("OpStackFirstUnderflowElementWeight"), gf.from_u64(under))])
-    term = gfx.sub(_hgfx(ch("OpStackIndeterminate"), h), compressed)
-    factor = gfx.select(jnp.asarray(not_padding), term, gfx.ones((h,)))
-    _store(aux, A("op_stack", "RunningProductPermArg"),
-           _prefix_product(factor))
+        (ch("OpStackClkWeight"), clk),
+        (ch("OpStackIb1Weight"), ib1),
+        (ch("OpStackPointerWeight"), ptr),
+        (ch("OpStackFirstUnderflowElementWeight"), under)])
+    term = gfx.sub(_bc(ch("OpStackIndeterminate"), h), compressed)
+    C.prod(A("op_stack", "RunningProductPermArg"),
+           gfx.select(not_padding, term, gfx.ones((h,))))
 
-    same_ptr = np.concatenate([[False], ptr[1:] == ptr[:-1]])
-    active = not_padding & same_ptr
-    active[0] = False
-    diff = (clk.astype(object) - _prev_col(clk).astype(object)) % P
-    ld = _log_derivative(
-        ch("ClockJumpDifferenceLookupIndeterminate"),
-        gfx.lift(gf.from_u64(diff.astype(np.uint64))),
-        gf.ones((h,)), jnp.asarray(active))
-    _store(aux, A("op_stack",
-                  "ClockJumpDifferenceLookupClientLogDerivative"), ld)
+    same_ptr = gf.eq(ptr, _prev_gf(ptr)) & (jnp.arange(h) > 0)
+    diff = gf.sub(clk, _prev_gf(clk))
+    C.ld(A("op_stack", "ClockJumpDifferenceLookupClientLogDerivative"),
+         ch("ClockJumpDifferenceLookupIndeterminate"), _lift(diff),
+         gf.ones((h,)), not_padding & same_ptr)
 
 
-# ========================================================= ram table
-
-
-def extend_ram_device(main, aux, challenges, h):
-    """table/ram.rs extension on device (incl. the Bézout running
-    columns, ram.rs:212-255)."""
+def _fac_ram(ctx, C):
+    """table/ram.rs extension (incl. the Bézout running columns,
+    ram.rs:212-255)."""
     import jax.numpy as jnp
 
-    _, affine_scan = _scan_fns()
-    ch = lambda n: _chx(challenges, n)
-    col = lambda n: main[:, M("ram", n)].astype(np.uint64)
+    h, ch = ctx.h, ctx.ch
+    col = lambda n: ctx.col("ram", n)
     clk, itype = col("CLK"), col("InstructionType")
     ptr, val = col("RamPointer"), col("RamValue")
     bez = ch("RamTableBezoutRelationIndeterminate")
-    not_padding = itype != 2
-    prev_ptr = _prev_col(ptr)
-    ptr_changed = ptr != prev_ptr
-    ptr_changed[0] = False
+    not_padding = ~_eqc(itype, 2)
+    not_first = jnp.arange(h) > 0
+    ptr_changed = ~gf.eq(ptr, _prev_gf(ptr)) & not_first
     change = not_padding & ptr_changed
-    change[0] = False
 
     one = gfx.ones((h,))
     zero = gfx.zeros((h,))
-    beta_minus_ptr = gfx.sub(_hgfx(bez, h), gfx.lift(gf.from_u64(ptr)))
+    beta_minus_ptr = gfx.sub(_bc(bez, h), _lift(ptr))
 
     # running product of (beta - ptr): row 0 always contributes
-    factor = gfx.select(jnp.asarray(change), beta_minus_ptr, one)
-    first = np.zeros(h, bool)
-    first[0] = True
-    factor = gfx.select(jnp.asarray(first), beta_minus_ptr, factor)
-    rp = _prefix_product(factor)
-    _store(aux, A("ram", "RunningProductOfRAMP"), rp)
-
-    # formal derivative: fd_i = a_i fd_{i-1} + [change] rp_{i-1}
-    rp_prev = gfx.tmap(
-        lambda x: jnp.concatenate([jnp.zeros((1,), x.dtype), x[:-1]]), rp)
-    # row 0: fd = 1 (identity map on acc0 = 1)
-    a = gfx.select(jnp.asarray(change), beta_minus_ptr, one)
-    b = gfx.select(jnp.asarray(change), rp_prev, zero)
-    A_, B_ = affine_scan(a, b)
-    _store(aux, A("ram", "FormalDerivative"), gfx.add(A_, B_))
+    first = ~not_first
+    C.prod(A("ram", "RunningProductOfRAMP"),
+           gfx.select(change | first, beta_minus_ptr, one))
+    # FormalDerivative consumes the RunningProductOfRAMP scan -> B2
 
     # Bézout coefficient running evaluations
     for colname, main_col in (
-            ("BezoutCoefficient0", "BezoutCoefficientPolynomialCoefficient0"),
-            ("BezoutCoefficient1", "BezoutCoefficientPolynomialCoefficient1")):
-        coeff = gf.from_u64(col(main_col))
-        a = gfx.select(jnp.asarray(change), _hgfx(bez, h), one)
-        a = gfx.select(jnp.asarray(first), zero, a)  # kill acc0 influence
-        b = gfx.select(jnp.asarray(change | first), gfx.lift(coeff), zero)
-        A_, B_ = affine_scan(a, b)
-        _store(aux, A("ram", colname), gfx.add(A_, B_))
+            ("BezoutCoefficient0",
+             "BezoutCoefficientPolynomialCoefficient0"),
+            ("BezoutCoefficient1",
+             "BezoutCoefficientPolynomialCoefficient1")):
+        coeff = col(main_col)
+        a = gfx.select(change, _bc(bez, h), one)
+        a = gfx.select(first, zero, a)  # kill acc0 influence
+        b = gfx.select(change | first, _lift(coeff), zero)
+        C.aff(A("ram", colname), a, b)
 
     # running product perm arg
     compressed = _wsum([
-        (ch("RamClkWeight"), gf.from_u64(clk)),
-        (ch("RamInstructionTypeWeight"), gf.from_u64(itype)),
-        (ch("RamPointerWeight"), gf.from_u64(ptr)),
-        (ch("RamValueWeight"), gf.from_u64(val))])
-    term = gfx.sub(_hgfx(ch("RamIndeterminate"), h), compressed)
-    factor = gfx.select(jnp.asarray(not_padding), term, one)
-    _store(aux, A("ram", "RunningProductPermArg"), _prefix_product(factor))
+        (ch("RamClkWeight"), clk),
+        (ch("RamInstructionTypeWeight"), itype),
+        (ch("RamPointerWeight"), ptr),
+        (ch("RamValueWeight"), val)])
+    term = gfx.sub(_bc(ch("RamIndeterminate"), h), compressed)
+    C.prod(A("ram", "RunningProductPermArg"),
+           gfx.select(not_padding, term, one))
 
     # clock jump difference log derivative
-    same = not_padding & ~ptr_changed
-    same[0] = False
-    diff = (clk.astype(object) - _prev_col(clk).astype(object)) % P
-    ld = _log_derivative(
-        ch("ClockJumpDifferenceLookupIndeterminate"),
-        gfx.lift(gf.from_u64(diff.astype(np.uint64))),
-        gf.ones((h,)), jnp.asarray(same))
-    _store(aux, A("ram", "ClockJumpDifferenceLookupClientLogDerivative"),
-           ld)
+    same = not_padding & ~ptr_changed & not_first
+    diff = gf.sub(clk, _prev_gf(clk))
+    C.ld(A("ram", "ClockJumpDifferenceLookupClientLogDerivative"),
+         ch("ClockJumpDifferenceLookupIndeterminate"), _lift(diff),
+         gf.ones((h,)), same)
 
 
-# ==================================================== jump-stack table
-
-
-def extend_jump_stack_device(main, aux, challenges, h):
-    """table/jump_stack.rs extension on device."""
+def _fac_jump_stack(ctx, C):
+    """table/jump_stack.rs extension."""
     import jax.numpy as jnp
 
-    ch = lambda n: _chx(challenges, n)
-    col = lambda n: main[:, M("jump_stack", n)].astype(np.uint64)
+    h, ch = ctx.h, ctx.ch
+    col = lambda n: ctx.col("jump_stack", n)
     clk = col("CLK")
     compressed = _wsum([
-        (ch("JumpStackClkWeight"), gf.from_u64(clk)),
-        (ch("JumpStackCiWeight"), gf.from_u64(col("CI"))),
-        (ch("JumpStackJspWeight"), gf.from_u64(col("JSP"))),
-        (ch("JumpStackJsoWeight"), gf.from_u64(col("JSO"))),
-        (ch("JumpStackJsdWeight"), gf.from_u64(col("JSD")))])
-    term = gfx.sub(_hgfx(ch("JumpStackIndeterminate"), h), compressed)
-    _store(aux, A("jump_stack", "RunningProductPermArg"),
-           _prefix_product(term))
+        (ch("JumpStackClkWeight"), clk),
+        (ch("JumpStackCiWeight"), col("CI")),
+        (ch("JumpStackJspWeight"), col("JSP")),
+        (ch("JumpStackJsoWeight"), col("JSO")),
+        (ch("JumpStackJsdWeight"), col("JSD"))])
+    C.prod(A("jump_stack", "RunningProductPermArg"),
+           gfx.sub(_bc(ch("JumpStackIndeterminate"), h), compressed))
 
     jsp = col("JSP")
-    same = np.concatenate([[False], jsp[1:] == jsp[:-1]])
-    diff = (clk.astype(object) - _prev_col(clk).astype(object)) % P
-    ld = _log_derivative(
-        ch("ClockJumpDifferenceLookupIndeterminate"),
-        gfx.lift(gf.from_u64(diff.astype(np.uint64))),
-        gf.ones((h,)), jnp.asarray(same))
-    _store(aux, A("jump_stack",
-                  "ClockJumpDifferenceLookupClientLogDerivative"), ld)
+    same = gf.eq(jsp, _prev_gf(jsp)) & (jnp.arange(h) > 0)
+    diff = gf.sub(clk, _prev_gf(clk))
+    C.ld(A("jump_stack", "ClockJumpDifferenceLookupClientLogDerivative"),
+         ch("ClockJumpDifferenceLookupIndeterminate"), _lift(diff),
+         gf.ones((h,)), same)
 
 
-# ========================================================= hash table
-
-
-def extend_hash_device(main, aux, challenges, h):
-    """table/hash.rs extension on device: 4 running evaluations + 16
-    cascade log derivatives."""
-    import jax.numpy as jnp
-
-    from ..fields import xfe as _xfe
-    from ..fields.bfe import R_INV
-
-    _, affine_scan = _scan_fns()
-    ch = lambda n: _chx(challenges, n)
-    col = lambda n: main[:, M("hash", n)].astype(np.uint64)
+def _fac_hash(ctx, C):
+    """table/hash.rs extension: 4 running evaluations + 16 cascade log
+    derivatives."""
+    h, ch = ctx.h, ctx.ch
+    col = lambda n: ctx.col("hash", n)
     mode, rn, ci = col("Mode"), col("RoundNumber"), col("CI")
-    SI = _op("sponge_init")
-    is_si = ci == SI
+    is_si = _eqc(ci, _op("sponge_init"))
 
     # rate registers: first 4 states recombined from 16-bit limbs
     # (x Montgomery R^-1), states 4..9 direct
@@ -845,106 +921,303 @@ def extend_hash_device(main, aux, challenges, h):
     for k in range(4):
         acc = None
         for c, part in zip(limb_consts, parts):
-            term = gf.mul_const(
-                gf.from_u64(col(f"State{k}{part}LkIn")), c)
+            term = gf.mul_const(col(f"State{k}{part}LkIn"), c)
             acc = term if acc is None else gf.add(acc, term)
         rate.append(acc)
     for k in range(4, 10):
-        rate.append(gf.from_u64(col(f"State{k}")))
+        rate.append(col(f"State{k}"))
 
     sw = [ch(f"StackWeight{k}") for k in range(16)]
     compressed_row = _wsum([(sw[k], rate[k]) for k in range(10)])
 
     one = gfx.ones((h,))
     zero = gfx.zeros((h,))
+    rn0 = _eqc(rn, 0)
 
     # receive-chunk running evaluation (mode 1, round 0)
-    alpha_prep = challenges["ProgramAttestationPrepareChunkIndeterminate"]
-    prep_pows = [_xfe.mod_pow(tuple(alpha_prep), j) for j in range(11)]
-    chunk = _hgfx(_xfe_scalar(prep_pows[10]), h)
+    prep_pows = _ch_pows(
+        ch("ProgramAttestationPrepareChunkIndeterminate"), 10)
+    chunk = _bc(prep_pows[10], h)
     chunk = gfx.add(chunk, _wsum(
-        [(_xfe_scalar(prep_pows[9 - k]), rate[k]) for k in range(10)]))
-    m_recv = jnp.asarray((mode == 1) & (rn == 0))
+        [(prep_pows[9 - k], rate[k]) for k in range(10)]))
+    m_recv = _eqc(mode, 1) & rn0
     a = gfx.select(
-        m_recv, _hgfx(ch("ProgramAttestationSendChunkIndeterminate"), h),
+        m_recv, _bc(ch("ProgramAttestationSendChunkIndeterminate"), h),
         one)
     b = gfx.select(m_recv, chunk, zero)
-    A_, B_ = affine_scan(a, b)
-    _store(aux, A("hash", "ReceiveChunkRunningEvaluation"), gfx.add(A_, B_))
+    C.aff(A("hash", "ReceiveChunkRunningEvaluation"), a, b)
 
     # sponge running evaluation (mode 2, round 0)
-    ci_term = gfx.bfe_mul(ch("HashCIWeight"), gf.from_u64(ci))
-    m_si = jnp.asarray((mode == 2) & (rn == 0) & is_si)
-    m_sponge = jnp.asarray((mode == 2) & (rn == 0) & ~is_si)
+    ci_term = gfx.bfe_mul(ch("HashCIWeight"), ci)
+    m_any = _eqc(mode, 2) & rn0
+    m_si = m_any & is_si
+    m_sponge = m_any & ~is_si
     b = gfx.select(m_si, ci_term, zero)
     b = gfx.select(m_sponge, gfx.add(ci_term, compressed_row), b)
-    m_any = jnp.asarray((mode == 2) & (rn == 0))
-    a = gfx.select(m_any, _hgfx(ch("SpongeIndeterminate"), h), one)
-    A_, B_ = affine_scan(a, b)
-    _store(aux, A("hash", "SpongeRunningEvaluation"), gfx.add(A_, B_))
+    a = gfx.select(m_any, _bc(ch("SpongeIndeterminate"), h), one)
+    C.aff(A("hash", "SpongeRunningEvaluation"), a, b)
 
     # hash-input running evaluation (mode 3, round 0)
-    m_hin = jnp.asarray((mode == 3) & (rn == 0))
-    a = gfx.select(m_hin, _hgfx(ch("HashInputIndeterminate"), h), one)
+    m_hin = _eqc(mode, 3) & rn0
+    a = gfx.select(m_hin, _bc(ch("HashInputIndeterminate"), h), one)
     b = gfx.select(m_hin, compressed_row, zero)
-    A_, B_ = affine_scan(a, b)
-    _store(aux, A("hash", "HashInputRunningEvaluation"), gfx.add(A_, B_))
+    C.aff(A("hash", "HashInputRunningEvaluation"), a, b)
 
     # hash-digest running evaluation (mode 3, last round)
     digest_comp = _wsum([(sw[k], rate[k]) for k in range(5)])
-    m_dig = jnp.asarray((mode == 3) & (rn == tip5.NUM_ROUNDS))
-    a = gfx.select(m_dig, _hgfx(ch("HashDigestIndeterminate"), h), one)
+    m_dig = _eqc(mode, 3) & _eqc(rn, tip5.NUM_ROUNDS)
+    a = gfx.select(m_dig, _bc(ch("HashDigestIndeterminate"), h), one)
     b = gfx.select(m_dig, digest_comp, zero)
-    A_, B_ = affine_scan(a, b)
-    _store(aux, A("hash", "HashDigestRunningEvaluation"), gfx.add(A_, B_))
+    C.aff(A("hash", "HashDigestRunningEvaluation"), a, b)
 
     # 16 cascade log derivatives
-    active = jnp.asarray((mode != 0) & (rn != tip5.NUM_ROUNDS) & ~is_si)
+    active = ~_eqc(mode, 0) & ~_eqc(rn, tip5.NUM_ROUNDS) & ~is_si
     ones = gf.ones((h,))
     for k in range(4):
         for part in parts:
-            lk_in = gf.from_u64(col(f"State{k}{part}LkIn"))
-            lk_out = gf.from_u64(col(f"State{k}{part}LkOut"))
+            lk_in = col(f"State{k}{part}LkIn")
+            lk_out = col(f"State{k}{part}LkOut")
             comp = _wsum([(ch("HashCascadeLookInWeight"), lk_in),
                           (ch("HashCascadeLookOutWeight"), lk_out)])
-            ld = _log_derivative(ch("HashCascadeLookupIndeterminate"),
-                                 comp, ones, active)
-            _store(aux, A("hash",
-                          f"CascadeState{k}{part}ClientLogDerivative"), ld)
+            C.ld(A("hash", f"CascadeState{k}{part}ClientLogDerivative"),
+                 ch("HashCascadeLookupIndeterminate"), comp, ones,
+                 active)
 
 
-# ================================================= full device extend
+def _fac_u32(ctx, C):
+    """table/u32.rs extension."""
+    ch = ctx.ch
+    active = _eqc(ctx.col("u32", "CopyFlag"), 1)
+    compressed = _wsum([
+        (ch("U32CiWeight"), ctx.col("u32", "CI")),
+        (ch("U32LhsWeight"), ctx.col("u32", "LHS")),
+        (ch("U32RhsWeight"), ctx.col("u32", "RHS")),
+        (ch("U32ResultWeight"), ctx.col("u32", "Result"))])
+    C.ld(A("u32", "LookupServerLogDerivative"),
+         ch("U32Indeterminate"), compressed,
+         ctx.col("u32", "LookupMultiplicity"), active)
+
+
+# Each table maps to one or more factor sub-programs; the processor
+# table is split four ways to keep each XLA:CPU compile tractable.
+_TABLE_FAC = {
+    "program": [_fac_program],
+    "processor": [_fac_processor_io, _fac_processor_stack,
+                  _fac_processor_hash, _fac_processor_u32],
+    "op_stack": [_fac_op_stack],
+    "ram": [_fac_ram],
+    "jump_stack": [_fac_jump_stack],
+    "hash": [_fac_hash],
+    "cascade": [_fac_cascade],
+    "lookup": [_fac_lookup],
+    "u32": [_fac_u32],
+}
+
+# columns whose scans run in phase B2 (consume phase-B1 scan outputs)
+_ROUND2_COLS = ("SendChunkRunningEvaluation", "FormalDerivative")
+
+
+@functools.lru_cache(maxsize=None)
+def _phase_a(table, sub):
+    """(jitted factor sub-program, ids dict filled at first trace)."""
+    import jax
+
+    ids = {}
+
+    def f(mlo, mhi, clo, chi):
+        ctx = _Ctx(mlo, mhi, clo, chi)
+        C = _Collector(ctx.h)
+        _TABLE_FAC[table][sub](ctx, C)
+        new = {"ld": tuple(C.ld_ids), "aff": tuple(C.aff_ids)}
+        assert ids.get("ld", new["ld"]) == new["ld"]
+        ids.update(new)
+        return C.stacked()
+
+    return jax.jit(f), ids
+
+
+def _phase_b1_fn(facs):
+    """Batched inversion + batched scans over every table's factors.
+    `facs`: list (in TABLE_IDS order) of phase-A output dicts."""
+    import jax.numpy as jnp
+
+    prefix_sum, affine_scan = _scan_fns()
+    dens = _gfx_cat([f["ld_den"] for f in facs if "ld_den" in f])
+    nums = _gf_cat([f["ld_num"] for f in facs if "ld_num" in f])
+    masks = jnp.concatenate([f["ld_mask"] for f in facs
+                             if "ld_mask" in f])
+    summands = gfx.bfe_mul(gfx.inv(dens), nums)
+    summands = gfx.select(masks, summands, gfx.zeros(masks.shape))
+    ld_sums = prefix_sum(summands)
+
+    aff_a = _gfx_cat([f["aff_a"] for f in facs if "aff_a" in f])
+    aff_b = _gfx_cat([f["aff_b"] for f in facs if "aff_b" in f])
+    A_, B_ = affine_scan(aff_a, aff_b)
+    return {"ld": ld_sums, "aff": gfx.add(A_, B_)}
+
+
+def _gfx_cat(vs):
+    import jax.numpy as jnp
+    return gfx.tmap(lambda *ls: jnp.concatenate(ls), *vs)
+
+
+def _gf_cat(vs):
+    import jax.numpy as jnp
+    return tuple(jnp.concatenate([v[i] for v in vs]) for i in range(2))
+
+
+@functools.lru_cache(maxsize=None)
+def _phase_b1():
+    import jax
+    return jax.jit(_phase_b1_fn)
+
+
+@functools.lru_cache(maxsize=None)
+def _phase_b2(ld_ids, aff_ids):
+    """Assembly: per-column sums, exclusive shifts, second-round scans,
+    final (49, 3, 2, h) packing."""
+    import jax
+    import jax.numpy as jnp
+
+    def f(mlo, mhi, clo, chi, scans):
+        ctx = _Ctx(mlo, mhi, clo, chi)
+        h, ch = ctx.h, ctx.ch
+        _, affine_scan = _scan_fns()
+        vals = {}
+        for i, cid in enumerate(ld_ids):
+            row = _gfx_row(scans["ld"], i)
+            vals[cid] = gfx.add(vals[cid], row) if cid in vals else row
+        # the program instruction-lookup server excludes its own row
+        excl = A("program", "InstructionLookupServerLogDerivative")
+        vals[excl] = _prev_gfx(vals[excl])
+        for i, cid in enumerate(aff_ids):
+            vals[cid] = _gfx_row(scans["aff"], i)
+
+        one = gfx.ones((h,))
+        zero = gfx.zeros((h,))
+
+        # --- round 2a: Program.SendChunk consumes PrepareChunk
+        prep = vals[A("program", "PrepareChunkRunningEvaluation")]
+        table_pad = ctx.col("program", "IsTablePadding")
+        idx_in_chunk = ctx.col("program", "IndexInChunk")
+        send_mask = _eqc(table_pad, 0) & _eqc(idx_in_chunk, tip5.RATE - 1)
+        a_s = gfx.select(send_mask,
+                         _bc(ch("ProgramAttestationSendChunkIndeterminate"),
+                             h), one)
+        b_s = gfx.select(send_mask, prep, zero)
+
+        # --- round 2b: Ram.FormalDerivative consumes RunningProductOfRAMP
+        rp = vals[A("ram", "RunningProductOfRAMP")]
+        itype = ctx.col("ram", "InstructionType")
+        ptr = ctx.col("ram", "RamPointer")
+        bez = ch("RamTableBezoutRelationIndeterminate")
+        not_first = jnp.arange(h) > 0
+        change = ~_eqc(itype, 2) & ~gf.eq(ptr, _prev_gf(ptr)) & not_first
+        beta_minus_ptr = gfx.sub(_bc(bez, h), _lift(ptr))
+        rp_prev = _prev_gfx(rp)
+        # row 0: fd = 1 (identity map on acc0 = 1)
+        a_f = gfx.select(change, beta_minus_ptr, one)
+        b_f = gfx.select(change, rp_prev, zero)
+
+        A2, B2 = affine_scan(_gfx_stack([a_s, a_f]),
+                             _gfx_stack([b_s, b_f]))
+        r2 = gfx.add(A2, B2)
+        vals[A("program", "SendChunkRunningEvaluation")] = _gfx_row(r2, 0)
+        vals[A("ram", "FormalDerivative")] = _gfx_row(r2, 1)
+
+        assert sorted(vals) == list(range(columns.NUM_AUX_AIR_COLUMNS))
+        return jnp.stack([
+            jnp.stack([jnp.stack(vals[i][c]) for c in range(3)])
+            for i in range(columns.NUM_AUX_AIR_COLUMNS)])
+
+    return jax.jit(f)
+
+
+def _unpack_cols(packed) -> np.ndarray:
+    """(n, 3, 2, h) u32 device array -> (h, n, 3) u64 numpy."""
+    a = np.asarray(packed)
+    u64 = a[:, :, 0].astype(np.uint64) | \
+        (a[:, :, 1].astype(np.uint64) << np.uint64(32))  # (n, 3, h)
+    return np.ascontiguousarray(u64.transpose(2, 0, 1))
+
+
+def _device_inputs(main, challenges):
+    import jax
+    mlo, mhi = _pack_main(main)
+    clo, chi = _pack_challenges(challenges)
+    return tuple(jax.device_put(x) for x in (mlo, mhi, clo, chi))
+
+
+def _run_pipeline(main, challenges):
+    """Returns the packed (49, 3, 2, h) device array."""
+    inputs = _device_inputs(main, challenges)
+    facs = []
+    ld_ids, aff_ids = [], []
+    for table in columns.TABLE_IDS:
+        for sub in range(len(_TABLE_FAC[table])):
+            jit_fn, ids = _phase_a(table, sub)
+            facs.append(jit_fn(*inputs))
+            ld_ids += list(ids["ld"])
+            aff_ids += list(ids["aff"])
+    scans = _phase_b1()(facs)
+    return _phase_b2(tuple(ld_ids), tuple(aff_ids))(*inputs, scans)
 
 
 def extend_all_device(main, challenges):
     """Device counterpart of tables/master.py::extend covering all 9
     tables / 49 aux columns."""
+    from ..tables.master import NUM_AUX
+
     h = main.shape[0]
-    aux = np.zeros((h, 91, 3), np.uint64)  # master aux table width
-    extend_program_device(main, aux, challenges, h)
-    extend_processor_device(main, aux, challenges, h)
-    extend_op_stack_device(main, aux, challenges, h)
-    extend_ram_device(main, aux, challenges, h)
-    extend_jump_stack_device(main, aux, challenges, h)
-    extend_hash_device(main, aux, challenges, h)
-    extend_cascade_device(main, aux, challenges, h)
-    extend_lookup_device(main, aux, challenges, h)
-    extend_u32_device(main, aux, challenges, h)
+    packed = _run_pipeline(main, challenges)
+    aux = np.zeros((h, NUM_AUX, 3), np.uint64)
+    aux[:, :columns.NUM_AUX_AIR_COLUMNS, :] = _unpack_cols(packed)
     return aux
 
 
-def extend_u32_device(main, aux, challenges, h):
-    """table/u32.rs extension on device."""
-    import jax.numpy as jnp
+# ------------------------------------------- per-table host entry points
+# (kept for the bit-identity tests; each runs the pipeline and copies
+# out only its table's columns)
 
-    ch = lambda n: _chx(challenges, n)
-    copy = main[:, M("u32", "CopyFlag")].astype(np.uint64)
-    active = jnp.asarray(copy == 1)
-    compressed = _wsum([
-        (ch("U32CiWeight"), _colv(main, "u32", "CI")),
-        (ch("U32LhsWeight"), _colv(main, "u32", "LHS")),
-        (ch("U32RhsWeight"), _colv(main, "u32", "RHS")),
-        (ch("U32ResultWeight"), _colv(main, "u32", "Result"))])
-    acc = _log_derivative(ch("U32Indeterminate"), compressed,
-                          _colv(main, "u32", "LookupMultiplicity"), active)
-    _store(aux, A("u32", "LookupServerLogDerivative"), acc)
+
+def _extend_table_into(table, main, aux, challenges):
+    full = extend_all_device(main, challenges)
+    start = columns.AUX_TABLE_START[table]
+    n = len(columns.AUX_COLUMNS[table])
+    aux[:, start:start + n, :] = full[:, start:start + n, :]
+
+
+def extend_program_device(main, aux, challenges, h):
+    _extend_table_into("program", main, aux, challenges)
+
+
+def extend_processor_device(main, aux, challenges, h):
+    _extend_table_into("processor", main, aux, challenges)
+
+
+def extend_op_stack_device(main, aux, challenges, h):
+    _extend_table_into("op_stack", main, aux, challenges)
+
+
+def extend_ram_device(main, aux, challenges, h):
+    _extend_table_into("ram", main, aux, challenges)
+
+
+def extend_jump_stack_device(main, aux, challenges, h):
+    _extend_table_into("jump_stack", main, aux, challenges)
+
+
+def extend_hash_device(main, aux, challenges, h):
+    _extend_table_into("hash", main, aux, challenges)
+
+
+def extend_cascade_device(main, aux, challenges, h):
+    _extend_table_into("cascade", main, aux, challenges)
+
+
+def extend_lookup_device(main, aux, challenges, h):
+    _extend_table_into("lookup", main, aux, challenges)
+
+
+def extend_u32_device(main, aux, challenges, h):
+    _extend_table_into("u32", main, aux, challenges)

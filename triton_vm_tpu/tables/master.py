@@ -510,17 +510,26 @@ class X:
 def extend(main: np.ndarray, challenges) -> np.ndarray:
     """Compute the 49 AIR aux columns (running arguments).
 
-    Dispatches to the device scan implementation (extend_device.py,
-    log-depth prefix scans — SURVEY §2.5 P10) unless TVM_DEVICE_EXTEND=0
-    forces the host reference path. Both are bit-identical
-    (tests/test_extend_device.py)."""
+    On an accelerator backend this dispatches to the 3-phase compiled
+    scan pipeline (extend_device.py — SURVEY §2.5 P10); on the CPU
+    backend it uses the vectorized host path (XLA:CPU's fusion passes
+    go pathological on the factor graphs; the host path is fast and
+    bit-identical — tests/test_extend_device.py validates the device
+    pipeline against it on TPU). TVM_DEVICE_EXTEND=1/0 forces the
+    device/host path regardless of backend."""
     import os
 
-    if os.environ.get("TVM_DEVICE_EXTEND", "1") != "0":
-        from . import extend_device
+    force = os.environ.get("TVM_DEVICE_EXTEND")
+    if force == "0":
+        return extend_host(main, challenges)
+    if force != "1":
+        import jax
 
-        return extend_device.extend_all_device(main, challenges)
-    return extend_host(main, challenges)
+        if jax.default_backend() not in ("tpu", "axon"):
+            return extend_host(main, challenges)
+    from . import extend_device
+
+    return extend_device.extend_all_device(main, challenges)
 
 
 def extend_host(main: np.ndarray, challenges) -> np.ndarray:
