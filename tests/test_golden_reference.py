@@ -241,3 +241,55 @@ def test_proof_digest_every_instruction():
         13547514320109628452,
         7746148481830452917,
     )
+
+
+def test_air_constraint_evaluators_golden_vector():
+    """Reference master_table.rs `air_constraints_evaluators_have_not_
+    changed` (master_table.rs:2326-2415): pseudorandom rows/challenges
+    from StdRng::seed_from_u64(3508729174085202315), all eight evaluator
+    invocations concatenated as polynomial coefficients, evaluated at a
+    pseudorandom XFE point.
+
+    A match pins, simultaneously: StdRng (ChaCha12 + rand_core
+    seed_from_u64), twenty-first's Canon BFE sampling
+    (random_range(0..=P-1)) and XFE coefficient order, the complete
+    production degree-lowering output (all 604 lowered constraints,
+    including node-id tie-breaks), the evaluator constraint order
+    (base-evaluating constraints before extension-evaluating ones per
+    phase, codegen.rs:209-214), and Horner polynomial evaluation."""
+    from triton_vm_tpu.air import evaluate as ev
+    from triton_vm_tpu.air.master import master_air
+    from triton_vm_tpu.fields import xfe as sxfe
+    from triton_vm_tpu.utils.stdrng import ChaCha12Rng, seed_from_u64
+
+    rng = ChaCha12Rng(seed_from_u64(3508729174085202315))
+    NM, NA = 379, 91
+    main_base = rng.random_bfes(NM)
+    main_ext = rng.random_xfes(NM)
+    aux_curr = rng.random_xfes(NA)
+    next_main_base = rng.random_bfes(NM)
+    next_main_ext = rng.random_xfes(NM)
+    aux_next = rng.random_xfes(NA)
+    challenges = rng.random_xfes(63)
+
+    air = master_air()
+    coeffs = []
+    for key, (nb, ne) in (("init", (None, None)), ("cons", (None, None)),
+                          ("tran", (next_main_base, next_main_ext)),
+                          ("term", (None, None))):
+        steps, out_ids = ev.linearize(air.constraints[key])
+        coeffs.extend(ev.eval_host(steps, out_ids, main_base, aux_curr,
+                                   challenges, next_main_row=nb,
+                                   next_aux_row=aux_next))
+        coeffs.extend(ev.eval_host(steps, out_ids, main_ext, aux_curr,
+                                   challenges, next_main_row=ne,
+                                   next_aux_row=aux_next))
+    assert len(coeffs) == 2 * 604
+
+    x = rng.random_xfes(1)[0]
+    acc = (0, 0, 0)
+    for c in reversed(coeffs):
+        acc = sxfe.add(sxfe.mul(acc, x), c)
+    assert acc == (17974882881108171077,
+                   15638927082579294872,
+                   9717283721935042729)

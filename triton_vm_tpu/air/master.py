@@ -111,8 +111,18 @@ class MasterAir:
             aux_cols += len(a_subs)
             self.main_subs[key] = m_subs
             self.aux_subs[key] = a_subs
-            # substitution-induced constraints are appended: main then aux
-            self.constraints[key] = cs + m_subs + a_subs
+            # substitution-induced constraints are appended (main then aux,
+            # lib.rs:174-185), and the generated evaluators then PARTITION
+            # each phase into base-field-evaluating constraints first,
+            # extension-field ones second (codegen.rs:209-214,246-260).
+            # The partitioned order is the protocol order: it fixes the
+            # quotient-weight assignment and the evaluator output layout.
+            combined = cs + m_subs + a_subs
+            base = [c for c in combined
+                    if C.evaluates_to_base_element(c.node)]
+            ext = [c for c in combined
+                   if not C.evaluates_to_base_element(c.node)]
+            self.constraints[key] = base + ext
 
         self.num_main_columns = main_cols  # 379 expected
         self.num_aux_columns = aux_cols + 1  # + batch randomizer -> 91
