@@ -57,10 +57,12 @@ for combo in (combos or itertools.product(
         ("u8x32", "fill"))):
     prefix, poly_full, bfe_mode, seed_mode = combo[:4]
     rounds = combo[4] if len(combo) > 4 else "12"
+    poly_wrap = combo[5] if len(combo) > 5 else "0"
     os.environ["TVM_ENUM_PREFIX"] = prefix
     os.environ["TVM_FRI_POLY_FULL"] = poly_full
     os.environ["TVM_RNG_BFE"] = bfe_mode
     os.environ["TVM_STDRNG_ROUNDS"] = rounds
+    os.environ["TVM_POLY_WRAP"] = poly_wrap
     t0 = time.time()
     proof = Prover(Stark(), seed=derive_seed(seed_mode)).prove(claim, aet)
     words = proof.words

@@ -112,10 +112,14 @@ class Fri:
         cur = gfx.from_u64(cw)
 
         def commit(domain, cw_dev):
+            import os
+
             n = gf.shape(cw_dev[0])[0]
-            leaves = gf.stack(
-                [cw_dev[0], cw_dev[1], cw_dev[2],
-                 gf.zeros((n,)), gf.zeros((n,))], axis=0)  # (5, n)
+            parts = [cw_dev[0], cw_dev[1], cw_dev[2],
+                     gf.zeros((n,)), gf.zeros((n,))]
+            if os.environ.get("TVM_FRI_LEAF_ZFIRST") == "1":
+                parts = parts[3:] + parts[:3]  # bisection aid
+            leaves = gf.stack(parts, axis=0)  # (5, n)
             tree = merkle.MerkleTree(leaves)
             proof_stream.enqueue(ProofItem("MerkleRoot", tree.root()))
             rounds.append((domain, cw_dev, tree))

@@ -70,6 +70,12 @@ class ProofItem:
         bisection aid)."""
         disc, shape, _ = ITEM_SPECS[self.variant]
         payload_enc = codec.encode(self.payload, shape)
+        if self.variant == "Polynomial":
+            import os
+            if os.environ.get("TVM_POLY_WRAP") == "1":
+                # bisection aid: model twenty-first's Polynomial as a
+                # struct wrapping Vec<FF> (extra inner length word)
+                payload_enc = [len(payload_enc)] + payload_enc
         if codec.static_length(shape) is None and _enum_prefix():
             return [disc, len(payload_enc)] + payload_enc
         return [disc] + payload_enc
