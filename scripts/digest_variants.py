@@ -159,6 +159,18 @@ def variant_scalars_three_per_squeeze():
         tip5.Tip5Sponge.sample_scalars = orig
 
 
+def _env_variant(name, env):
+    def run_env():
+        for k, v in env.items():
+            os.environ[k] = v
+        try:
+            return run(name)
+        finally:
+            for k in env:
+                del os.environ[k]
+    return run_env
+
+
 VARIANTS = {
     "baseline": variant_baseline,
     "auth_asc": variant_auth_ascending,
@@ -167,6 +179,13 @@ VARIANTS = {
     "squeeze_pf": variant_squeeze_permute_first,
     "scalars_per_xfe": variant_scalars_one_squeeze_per_xfe,
     "scalars_3per": variant_scalars_three_per_squeeze,
+    # struct-field / vec-item length-prefix combinations (8 minus baseline)
+    "s0v1e1": _env_variant("struct0 vecitem1 enum1", {"TVM_STRUCT_PREFIX": "0"}),
+    "s1v0e1": _env_variant("struct1 vecitem0 enum1", {"TVM_VEC_ITEM_PREFIX": "0"}),
+    "s0v0e1": _env_variant("struct0 vecitem0 enum1", {"TVM_STRUCT_PREFIX": "0", "TVM_VEC_ITEM_PREFIX": "0"}),
+    "s0v1e0": _env_variant("struct0 vecitem1 enum0", {"TVM_STRUCT_PREFIX": "0", "TVM_ENUM_PREFIX": "0"}),
+    "s1v0e0": _env_variant("struct1 vecitem0 enum0", {"TVM_VEC_ITEM_PREFIX": "0", "TVM_ENUM_PREFIX": "0"}),
+    "s0v0e0": _env_variant("struct0 vecitem0 enum0", {"TVM_STRUCT_PREFIX": "0", "TVM_VEC_ITEM_PREFIX": "0", "TVM_ENUM_PREFIX": "0"}),
 }
 
 if __name__ == "__main__":

@@ -82,7 +82,7 @@ def encode(value, shape) -> list[int]:
         out = [len(value)]
         for item in value:
             item_enc = encode(item, inner)
-            if inner_static is None:
+            if inner_static is None and _vec_item_prefix():
                 out.append(len(item_enc))
             out.extend(item_enc)
         return out
@@ -91,11 +91,27 @@ def encode(value, shape) -> list[int]:
         for _, fshape in shape[1]:
             fname = _
             field_enc = encode(value[fname], fshape)
-            if static_length(fshape) is None:
+            if static_length(fshape) is None and _struct_prefix():
                 out.append(len(field_enc))
             out.extend(field_enc)
         return out
     raise ValueError(f"unknown shape {shape!r}")
+
+
+def _struct_prefix() -> bool:
+    """TVM_STRUCT_PREFIX=0 drops dynamic struct-field length prefixes
+    (golden-transcript bisection aid)."""
+    import os
+
+    return os.environ.get("TVM_STRUCT_PREFIX", "1") != "0"
+
+
+def _vec_item_prefix() -> bool:
+    """TVM_VEC_ITEM_PREFIX=0 drops per-item length prefixes in vectors of
+    dynamically-sized items (golden-transcript bisection aid)."""
+    import os
+
+    return os.environ.get("TVM_VEC_ITEM_PREFIX", "1") != "0"
 
 
 def decode(words, shape, pos=0):

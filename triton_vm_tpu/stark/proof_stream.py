@@ -101,9 +101,12 @@ class ProofStream:
         vec_enc = [len(self.items)]
         for item in self.items:
             item_enc = item.encode()
-            vec_enc.append(len(item_enc))
+            if codec._vec_item_prefix():
+                vec_enc.append(len(item_enc))
             vec_enc.extend(item_enc)
-        return [len(vec_enc)] + vec_enc
+        if codec._struct_prefix():
+            return [len(vec_enc)] + vec_enc
+        return vec_enc
 
     def to_proof(self) -> Proof:
         return Proof(self.encode())
