@@ -161,3 +161,52 @@ def test_jit_quotient_codeword_matches_cached_device_path():
         tuple(gf.from_u64(aux_rand[:, :, c]) for c in range(3)),
         trace_dom, quot_dom, challenges, weights, ntr)
     assert np.array_equal(want, got)
+
+
+def test_jit_mode_proof_is_bit_identical_e2e():
+    """Prover with TVM_CACHE_LDE=jit must produce the exact same proof
+    words as the cached mode (the commitment path is transcript-
+    relevant; master_table.rs:258-322, config.rs:60-94)."""
+    import os
+
+    from triton_vm_tpu import Claim, PublicInput, Stark, VM
+    from triton_vm_tpu.models import example_programs as ex
+
+    program = ex.fibonacci()
+    aet, output = VM.trace_execution(program, PublicInput([10]))
+    claim = (Claim.about_program(program)
+             .with_input([10]).with_output(output))
+    stark = Stark()
+    seed = bytes(range(32))
+
+    assert os.environ.get("TVM_CACHE_LDE") is None
+    os.environ["TVM_CACHE_LDE"] = "cache"
+    try:
+        proof_cached = stark.prove(claim, aet, seed=seed)
+        os.environ["TVM_CACHE_LDE"] = "jit"
+        proof_jit = stark.prove(claim, aet, seed=seed)
+    finally:
+        del os.environ["TVM_CACHE_LDE"]
+
+    assert proof_jit.words == proof_cached.words
+    assert stark.verify(claim, proof_jit)
+
+
+def test_config_cache_decision():
+    from triton_vm_tpu import config
+
+    # explicit overrides win
+    import os
+    os.environ["TVM_CACHE_LDE"] = "jit"
+    try:
+        assert config.cache_lde_trace(1 << 10) is config.CacheDecision.JIT
+    finally:
+        del os.environ["TVM_CACHE_LDE"]
+    config.overwrite_lde_trace_caching_to(config.CacheDecision.JIT)
+    try:
+        assert config.cache_lde_trace(1 << 10) is config.CacheDecision.JIT
+    finally:
+        config.overwrite_lde_trace_caching_to(None)
+    # heuristic: tiny tables cache, absurdly tall ones do not
+    assert config.cache_lde_trace(1 << 10) is config.CacheDecision.CACHE
+    assert config.cache_lde_trace(1 << 40) is config.CacheDecision.JIT

@@ -113,6 +113,29 @@ def _coset_offsets_and_zerofiers(eval_dom, n, h, trace_offset=1):
     return tiles
 
 
+@functools.lru_cache(maxsize=8)
+def _interp_pad_bfe_fn(h, n):
+    import jax
+    import jax.numpy as jnp
+
+    def fn(cols):  # gf (nc, h) trace values -> (nc, n) coefficients
+        coeffs = ntt.intt(cols, 1)
+        return gf.tmap(lambda a: jnp.pad(a, ((0, 0), (0, n - h))), coeffs)
+
+    return jax.jit(fn)
+
+
+def interpolate_columns_bfe(cols, n):
+    """Trace-domain values gf (nc, h) -> interpolant coefficients gf
+    (nc, n), zero-padded to the randomized-trace length n."""
+    h = gf.shape(cols)[-1]
+    return _interp_pad_bfe_fn(h, n)(cols)
+
+
+def interpolate_columns_xfe(cols3, n):
+    return tuple(interpolate_columns_bfe(c, n) for c in cols3)
+
+
 def committed_digests_bfe(table_coeffs, rand, eval_dom, ldt_len, h, ntr):
     """Digest row (5, L) of the committed main-table codeword, computed
     coset-by-coset. table_coeffs: gf (nc, n) trace-interpolant coefficients
@@ -134,6 +157,81 @@ def committed_digests_bfe(table_coeffs, rand, eval_dom, ldt_len, h, ntr):
         elif t % stride_ldt == 0:
             digests[:, (t // stride_ldt)::(m // stride_ldt)] = gf.to_u64(dg)
     return digests
+
+
+def committed_digests_xfe(table_coeffs3, rand3, eval_dom, ldt_len, h, ntr):
+    """Digest rows (5, L) of the committed aux-table codeword, computed
+    coset-by-coset. table_coeffs3: 3-tuple of gf (nc, n); rand3 same."""
+    nc = gf.shape(table_coeffs3[0])[0]
+    n = gf.shape(table_coeffs3[0])[-1]
+    E = eval_dom.length
+    m = E // n
+    stride_ldt = E // ldt_len
+    fn = _coset_commit_xfe_fn(n, ntr, nc)
+    digests = np.zeros((5, ldt_len), np.uint64)
+    for t, (ladder, zvals) in enumerate(
+            _coset_offsets_and_zerofiers(eval_dom, n, h)):
+        _, dg = fn(table_coeffs3, rand3, gf.from_u64(ladder),
+                   gf.from_u64(zvals))
+        if stride_ldt == 1:
+            digests[:, t::m] = gf.to_u64(dg)
+        elif t % stride_ldt == 0:
+            digests[:, (t // stride_ldt)::(m // stride_ldt)] = gf.to_u64(dg)
+    return digests
+
+
+def reveal_rows_bfe(table_coeffs, rand, eval_dom, ldt_len, h, ntr, indices):
+    """Committed main-table rows at the given LDT indices, (k, nc) u64,
+    recomputed coset-by-coset without a cached LDE."""
+    nc = gf.shape(table_coeffs)[0]
+    n = gf.shape(table_coeffs)[-1]
+    E = eval_dom.length
+    m = E // n
+    stride_ldt = E // ldt_len
+    fn = _coset_commit_bfe_fn(n, ntr, nc)
+    out = np.zeros((len(indices), nc), np.uint64)
+    tiles = _coset_offsets_and_zerofiers(eval_dom, n, h)
+    by_coset = {}
+    for pos, idx in enumerate(indices):
+        g_idx = idx * stride_ldt  # global eval-domain index
+        by_coset.setdefault(g_idx % m, []).append((pos, g_idx // m))
+    for t, entries in sorted(by_coset.items()):
+        ladder, zvals = tiles[t]
+        committed, _ = fn(table_coeffs, rand, gf.from_u64(ladder),
+                          gf.from_u64(zvals))
+        rows = np.array([r for _, r in entries], np.int64)
+        sel = gf.to_u64(gf.take(committed, rows, axis=1))  # (nc, len)
+        for j, (pos, _) in enumerate(entries):
+            out[pos] = sel[:, j]
+    return out
+
+
+def reveal_rows_xfe(table_coeffs3, rand3, eval_dom, ldt_len, h, ntr,
+                    indices):
+    """Committed aux-table rows at the given LDT indices, (k, nc, 3)."""
+    nc = gf.shape(table_coeffs3[0])[0]
+    n = gf.shape(table_coeffs3[0])[-1]
+    E = eval_dom.length
+    m = E // n
+    stride_ldt = E // ldt_len
+    fn = _coset_commit_xfe_fn(n, ntr, nc)
+    out = np.zeros((len(indices), nc, 3), np.uint64)
+    tiles = _coset_offsets_and_zerofiers(eval_dom, n, h)
+    by_coset = {}
+    for pos, idx in enumerate(indices):
+        g_idx = idx * stride_ldt
+        by_coset.setdefault(g_idx % m, []).append((pos, g_idx // m))
+    for t, entries in sorted(by_coset.items()):
+        ladder, zvals = tiles[t]
+        committed, _ = fn(table_coeffs3, rand3, gf.from_u64(ladder),
+                          gf.from_u64(zvals))
+        rows = np.array([r for _, r in entries], np.int64)
+        sel = [gf.to_u64(gf.take(committed[c], rows, axis=1))
+               for c in range(3)]  # 3 x (nc, len)
+        for j, (pos, _) in enumerate(entries):
+            for c in range(3):
+                out[pos, :, c] = sel[c][:, j]
+    return out
 
 
 def quotient_codeword_jit(main_coeffs, aux_coeffs, main_rand, aux_rand,

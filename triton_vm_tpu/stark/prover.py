@@ -299,6 +299,16 @@ class Prover:
         from ..parallel import sharding
 
         mesh = sharding.active_mesh()
+
+        # Cache-or-JIT commitment decision (config.rs:24-94 analog): the
+        # JIT path never materializes the (num_cols, L) codewords; it
+        # commits and reveals coset-by-coset (master_table.rs:258-322,
+        # stark.rs:805-1006). Mesh sharding implies the cached path.
+        from .. import config as tvm_config
+        from . import jit_lde
+
+        use_jit = (mesh is None and tvm_config.cache_lde_trace(L)
+                   is tvm_config.CacheDecision.JIT)
         zvals_dev = gf.from_u64(_trace_zerofier_values(trace_dom, eval_dom))
         if mesh is not None:
             zvals_dev = sharding.replicate(mesh, zvals_dev)
@@ -313,19 +323,29 @@ class Prover:
             v = gf.from_u64(pad_cols(np.ascontiguousarray(arr), ncp))
             return sharding.shard(mesh, v, 0, arr.ndim) if mesh else v
 
-        ncp_main = (-(-NUM_MAIN // mesh.size) * mesh.size if mesh
-                    else NUM_MAIN)
-        main_lde_dev, main_flat = _commit_bfe_fn(
-            h, E, L, eval_dom.offset, ntr, NUM_MAIN, ncp_main)(
-                col_sharded(main.T.astype(np.uint64), ncp_main),
-                col_sharded(np.asarray(main_rand_coeffs, np.uint64),
-                            ncp_main),
-                zvals_dev)
+        main_lde_dev = main_coeffs_dev = None
+        main_rand_dev = gf.from_u64(np.asarray(main_rand_coeffs, np.uint64))
+        if use_jit:
+            main_coeffs_dev = jit_lde.interpolate_columns_bfe(
+                gf.from_u64(main.T.astype(np.uint64)), rand_dom.length)
+            dg = jit_lde.committed_digests_bfe(
+                main_coeffs_dev, main_rand_dev, eval_dom, L, h, ntr)
+            _trace("main merkle", "hash")
+            main_tree = merkle.MerkleTree(dg.T)
+        else:
+            ncp_main = (-(-NUM_MAIN // mesh.size) * mesh.size if mesh
+                        else NUM_MAIN)
+            main_lde_dev, main_flat = _commit_bfe_fn(
+                h, E, L, eval_dom.offset, ntr, NUM_MAIN, ncp_main)(
+                    col_sharded(main.T.astype(np.uint64), ncp_main),
+                    col_sharded(np.asarray(main_rand_coeffs, np.uint64),
+                                ncp_main),
+                    zvals_dev)
 
-        _trace("main merkle", "hash")
-        main_tree = merkle.MerkleTree.from_flat(
-            tip5_kernel.assemble_flat(gf.to_u64(main_flat[0]),
-                                      gf.to_u64(main_flat[1])), L)
+            _trace("main merkle", "hash")
+            main_tree = merkle.MerkleTree.from_flat(
+                tip5_kernel.assemble_flat(gf.to_u64(main_flat[0]),
+                                          gf.to_u64(main_flat[1])), L)
         proof_stream.enqueue(ProofItem("MerkleRoot", main_tree.root()))
         challenges = Challenges(proof_stream.sample_scalars(SAMPLE_COUNT),
                                 claim)
@@ -341,18 +361,31 @@ class Prover:
             self.seed, range(NUM_MAIN, NUM_MAIN + NUM_AUX), ntr)
         _trace("aux LDE", "LDE")
         rc = np.array(aux_rand_coeffs, np.uint64)  # (NUM_AUX, ntr, 3)
-        ncp_aux = -(-NUM_AUX // mesh.size) * mesh.size if mesh else NUM_AUX
-        aux_lde_dev, aux_flat = _commit_xfe_fn(
-            h, E, L, eval_dom.offset, ntr, NUM_AUX, ncp_aux)(
-                tuple(col_sharded(aux[:, :, c].T, ncp_aux)
-                      for c in range(3)),
-                tuple(col_sharded(rc[:, :, c], ncp_aux) for c in range(3)),
-                zvals_dev)
+        aux_lde_dev = aux_coeffs_dev = None
+        aux_rand_dev = tuple(gf.from_u64(rc[:, :, c]) for c in range(3))
+        if use_jit:
+            aux_coeffs_dev = jit_lde.interpolate_columns_xfe(
+                tuple(gf.from_u64(aux[:, :, c].T.astype(np.uint64))
+                      for c in range(3)), rand_dom.length)
+            dg = jit_lde.committed_digests_xfe(
+                aux_coeffs_dev, aux_rand_dev, eval_dom, L, h, ntr)
+            _trace("aux merkle", "hash")
+            aux_tree = merkle.MerkleTree(dg.T)
+        else:
+            ncp_aux = (-(-NUM_AUX // mesh.size) * mesh.size if mesh
+                       else NUM_AUX)
+            aux_lde_dev, aux_flat = _commit_xfe_fn(
+                h, E, L, eval_dom.offset, ntr, NUM_AUX, ncp_aux)(
+                    tuple(col_sharded(aux[:, :, c].T, ncp_aux)
+                          for c in range(3)),
+                    tuple(col_sharded(rc[:, :, c], ncp_aux)
+                          for c in range(3)),
+                    zvals_dev)
 
-        _trace("aux merkle", "hash")
-        aux_tree = merkle.MerkleTree.from_flat(
-            tip5_kernel.assemble_flat(gf.to_u64(aux_flat[0]),
-                                      gf.to_u64(aux_flat[1])), L)
+            _trace("aux merkle", "hash")
+            aux_tree = merkle.MerkleTree.from_flat(
+                tip5_kernel.assemble_flat(gf.to_u64(aux_flat[0]),
+                                          gf.to_u64(aux_flat[1])), L)
         proof_stream.enqueue(ProofItem("MerkleRoot", aux_tree.root()))
 
         initial_quot_weight = proof_stream.sample_scalars(1)[0]
@@ -363,7 +396,13 @@ class Prover:
         # --------------------------------------------- quotient segments
         stride = E // Q
         _trace("quotients", "quotient")
-        if _use_device_quotients():
+        if use_jit:
+            quotient_np = jit_lde.quotient_codeword_jit(
+                main_coeffs_dev, aux_coeffs_dev, main_rand_dev,
+                aux_rand_dev, trace_dom, quot_dom, challenges,
+                quot_weights, ntr)
+            quotient_dev = gfx.from_u64(quotient_np)
+        elif _use_device_quotients():
             main_q = (gf.tmap(lambda a: a[:, ::stride], main_lde_dev)
                       if stride != 1 else main_lde_dev)
             aux_q = (gfx.tmap(lambda a: a[:, ::stride], aux_lde_dev)
@@ -491,9 +530,14 @@ class Prover:
         # ------------------------------------------------ open trace rows
         # gather only the revealed rows from the device-resident codewords
         idx = np.array(revealed_indices, np.int64)
-        main_ldt_dev = (gf.tmap(lambda a: a[:, ::E // L], main_lde_dev)
-                        if E != L else main_lde_dev)
-        sel = gf.to_u64(gf.take(main_ldt_dev, idx, axis=1))  # (NM, k)
+        if use_jit:
+            sel = jit_lde.reveal_rows_bfe(
+                main_coeffs_dev, main_rand_dev, eval_dom, L, h, ntr,
+                revealed_indices).T  # (NM, k)
+        else:
+            main_ldt_dev = (gf.tmap(lambda a: a[:, ::E // L], main_lde_dev)
+                            if E != L else main_lde_dev)
+            sel = gf.to_u64(gf.take(main_ldt_dev, idx, axis=1))  # (NM, k)
         main_rows = [[int(v) for v in sel[:, j]]
                      for j in range(len(revealed_indices))]
         proof_stream.enqueue(ProofItem("MasterMainTableRows", main_rows))
@@ -501,10 +545,16 @@ class Prover:
             "AuthenticationStructure",
             main_tree.authentication_structure(revealed_indices)))
 
-        aux_ldt_dev = (gfx.tmap(lambda a: a[:, ::E // L], aux_lde_dev)
-                       if E != L else aux_lde_dev)
-        sel3 = [gf.to_u64(gf.take(aux_ldt_dev[c], idx, axis=1))
-                for c in range(3)]  # 3 x (NA, k)
+        if use_jit:
+            rev = jit_lde.reveal_rows_xfe(
+                aux_coeffs_dev, aux_rand_dev, eval_dom, L, h, ntr,
+                revealed_indices)  # (k, NA, 3)
+            sel3 = [rev[:, :, c].T for c in range(3)]
+        else:
+            aux_ldt_dev = (gfx.tmap(lambda a: a[:, ::E // L], aux_lde_dev)
+                           if E != L else aux_lde_dev)
+            sel3 = [gf.to_u64(gf.take(aux_ldt_dev[c], idx, axis=1))
+                    for c in range(3)]  # 3 x (NA, k)
         aux_rows = [[tuple(int(sel3[c][j, i]) for c in range(3))
                      for j in range(NUM_AUX)]
                     for i in range(len(revealed_indices))]
