@@ -21,9 +21,20 @@ DIGEST_LEN = 5
 NUM_HELPER_VARS = 6
 
 
+from .. import errors as E
+
+
 class VMError(Exception):
-    def __init__(self, message, state: Optional["VMState"] = None):
-        super().__init__(message)
+    """VM failure wrapper: `source` is the typed InstructionError
+    (reference vm.rs `VMError { source, vm_state }`, error taxonomy at
+    triton-isa instruction.rs:867-945)."""
+
+    def __init__(self, source, state: Optional["VMState"] = None):
+        from .. import errors as E
+
+        super().__init__(str(source))
+        self.source = source if isinstance(source, E.InstructionError) \
+            else None
         self.state = state
 
 
@@ -149,7 +160,7 @@ class OpStack:
     def pop(self):
         self._record(False)
         if not self.stack:
-            raise VMError("op stack too shallow")
+            raise VMError(E.OpStackTooShallow("op stack too shallow"))
         return self.stack.pop()
 
     def insert(self, index, element):
@@ -176,13 +187,13 @@ class OpStack:
     def pop_u32(self):
         v = self.pop()
         if v >= 1 << 32:
-            raise VMError(f"failed u32 conversion: {v}")
+            raise VMError(E.FailedU32Conversion(f"failed u32 conversion: {v}"))
         return v
 
     def get_u32(self, i):
         v = self[i]
         if v >= 1 << 32:
-            raise VMError(f"failed u32 conversion: {v}")
+            raise VMError(E.FailedU32Conversion(f"failed u32 conversion: {v}"))
         return v
 
     def peek_xfe(self, idx):
@@ -226,14 +237,14 @@ class VMState:
     def current_instruction(self) -> Instruction:
         ins = self.program.instruction_at(self.instruction_pointer)
         if ins is None:
-            raise VMError("instruction pointer overflow", self)
+            raise VMError(E.InstructionPointerOverflow("instruction pointer overflow"), self)
         return ins
 
     def next_instruction(self) -> Instruction:
         cur = self.current_instruction()
         ins = self.program.instruction_at(self.instruction_pointer + cur.size())
         if ins is None:
-            raise VMError("instruction pointer overflow", self)
+            raise VMError(E.InstructionPointerOverflow("instruction pointer overflow"), self)
         return ins
 
     def next_instruction_or_argument(self) -> int:
@@ -324,10 +335,10 @@ class VMState:
     def step(self):
         """Execute one instruction; returns the coprocessor calls."""
         if self.halting:
-            raise VMError("machine halted", self)
+            raise VMError(E.MachineHalted("machine halted"), self)
         ins = self.current_instruction()
         if self.op_stack.would_be_too_shallow(ins.op_stack_size_influence()):
-            raise VMError("op stack too shallow", self)
+            raise VMError(E.OpStackTooShallow("op stack too shallow"), self)
 
         self.op_stack.start_recording()
         calls = getattr(self, "_op_" + ins.name)(ins)
@@ -361,7 +372,7 @@ class VMState:
 
     def _op_divine(self, ins):
         if len(self.secret_individual_tokens) < ins.arg:
-            raise VMError("empty secret input", self)
+            raise VMError(E.EmptySecretInput("empty secret input"), self)
         for _ in range(ins.arg):
             self.op_stack.push(self.secret_individual_tokens.popleft())
         self.instruction_pointer += 2
@@ -415,21 +426,21 @@ class VMState:
 
     def _op_return(self, ins):
         if not self.jump_stack:
-            raise VMError("jump stack is empty", self)
+            raise VMError(E.JumpStackIsEmpty("jump stack is empty"), self)
         origin, _ = self.jump_stack.pop()
         self.instruction_pointer = origin
         return []
 
     def _op_recurse(self, ins):
         if not self.jump_stack:
-            raise VMError("jump stack is empty", self)
+            raise VMError(E.JumpStackIsEmpty("jump stack is empty"), self)
         _, dest = self.jump_stack[-1]
         self.instruction_pointer = dest
         return []
 
     def _op_recurse_or_return(self, ins):
         if not self.jump_stack:
-            raise VMError("jump stack is empty", self)
+            raise VMError(E.JumpStackIsEmpty("jump stack is empty"), self)
         st = self.op_stack
         if st[5] == st[6]:
             origin, _ = self.jump_stack.pop()
@@ -442,10 +453,10 @@ class VMState:
     def _op_assert(self, ins):
         if self.op_stack[0] != 1:
             ctx = self.program.assertion_contexts.get(self.instruction_pointer)
-            eid = f" (error_id {ctx.error_id})" if ctx else ""
-            raise VMError(
-                f"assertion failed: expected 1, got {self.op_stack[0]}{eid}",
-                self)
+            failure = E.AssertionFailure(
+                expected=1, actual=self.op_stack[0],
+                id=ctx.error_id if ctx else None)
+            raise VMError(E.AssertionFailed(failure), self)
         self.op_stack.pop()
         self.instruction_pointer += 1
         return []
@@ -482,8 +493,11 @@ class VMState:
         for i in range(DIGEST_LEN):
             if self.op_stack[i] != self.op_stack[i + DIGEST_LEN]:
                 ctx = self.program.assertion_contexts.get(self.instruction_pointer)
-                eid = f" (error_id {ctx.error_id})" if ctx else ""
-                raise VMError(f"vector assertion failed at {i}{eid}", self)
+                failure = E.AssertionFailure(
+                    expected=self.op_stack[i],
+                    actual=self.op_stack[i + DIGEST_LEN],
+                    id=ctx.error_id if ctx else None)
+                raise VMError(E.VectorAssertionFailed(i, failure), self)
         for _ in range(DIGEST_LEN):
             self.op_stack.pop()
         self.instruction_pointer += 1
@@ -496,7 +510,7 @@ class VMState:
 
     def _op_sponge_absorb(self, ins):
         if self.sponge is None:
-            raise VMError("sponge not initialized", self)
+            raise VMError(E.SpongeNotInitialized("sponge not initialized"), self)
         chunk = [self.op_stack.pop() for _ in range(10)]
         self.sponge[:10] = chunk
         trace = tip5.permutation_trace(self.sponge)
@@ -506,7 +520,7 @@ class VMState:
 
     def _op_sponge_absorb_mem(self, ins):
         if self.sponge is None:
-            raise VMError("sponge not initialized", self)
+            raise VMError(E.SpongeNotInitialized("sponge not initialized"), self)
         ptr = self.op_stack.pop()
         for i in range(10):
             elem = self._ram_read(ptr)
@@ -522,7 +536,7 @@ class VMState:
 
     def _op_sponge_squeeze(self, ins):
         if self.sponge is None:
-            raise VMError("sponge not initialized", self)
+            raise VMError(E.SpongeNotInitialized("sponge not initialized"), self)
         for i in reversed(range(10)):
             self.op_stack.push(self.sponge[i])
         trace = tip5.permutation_trace(self.sponge)
@@ -552,7 +566,7 @@ class VMState:
     def _op_invert(self, ins):
         top = self.op_stack[0]
         if top == 0:
-            raise VMError("inverse of zero", self)
+            raise VMError(E.InverseOfZero("inverse of zero"), self)
         self.op_stack.pop()
         self.op_stack.push(pow(top, P - 2, P))
         self.instruction_pointer += 1
@@ -605,7 +619,7 @@ class VMState:
     def _op_log_2_floor(self, ins):
         self.op_stack.get_u32(0)
         if self.op_stack[0] == 0:
-            raise VMError("logarithm of zero", self)
+            raise VMError(E.LogarithmOfZero("logarithm of zero"), self)
         top = self.op_stack.pop_u32()
         self.op_stack.push(top.bit_length() - 1)
         self.instruction_pointer += 1
@@ -623,7 +637,7 @@ class VMState:
         self.op_stack.get_u32(0)
         self.op_stack.get_u32(1)
         if self.op_stack[1] == 0:
-            raise VMError("division by zero", self)
+            raise VMError(E.DivisionByZero("division by zero"), self)
         numerator = self.op_stack.pop_u32()
         denominator = self.op_stack.pop_u32()
         quotient, remainder = divmod(numerator, denominator)
@@ -660,7 +674,7 @@ class VMState:
         from ..fields import xfe
         top = self.op_stack.peek_xfe(0)
         if top == xfe.ZERO:
-            raise VMError("inverse of zero", self)
+            raise VMError(E.InverseOfZero("inverse of zero"), self)
         inverse = xfe.inv(top)
         self.op_stack.pop_xfe()
         self.op_stack.push_xfe(inverse)
@@ -683,7 +697,7 @@ class VMState:
 
     def _op_read_io(self, ins):
         if len(self.public_input) < ins.arg:
-            raise VMError("empty public input", self)
+            raise VMError(E.EmptyPublicInput("empty public input"), self)
         for _ in range(ins.arg):
             self.op_stack.push(self.public_input.popleft())
         self.instruction_pointer += 2
@@ -692,7 +706,7 @@ class VMState:
     def _op_merkle_step(self, ins):
         self.op_stack.get_u32(5)
         if not self.secret_digests:
-            raise VMError("empty secret digest input", self)
+            raise VMError(E.EmptySecretDigestInput("empty secret digest input"), self)
         sibling = self.secret_digests.popleft()
         return self._merkle_step(sibling)
 
