@@ -186,10 +186,51 @@ VARIANTS = {
     "s0v1e0": _env_variant("struct0 vecitem1 enum0", {"TVM_STRUCT_PREFIX": "0", "TVM_ENUM_PREFIX": "0"}),
     "s1v0e0": _env_variant("struct1 vecitem0 enum0", {"TVM_VEC_ITEM_PREFIX": "0", "TVM_ENUM_PREFIX": "0"}),
     "s0v0e0": _env_variant("struct0 vecitem0 enum0", {"TVM_STRUCT_PREFIX": "0", "TVM_VEC_ITEM_PREFIX": "0", "TVM_ENUM_PREFIX": "0"}),
+    "struct_rev": _env_variant("struct fields reversed", {"TVM_STRUCT_REVERSE": "1"}),
 }
 
+def variant_combo(auth_asc: bool, env: dict, name: str):
+    orig = merkle.auth_structure_node_indices
+    if auth_asc:
+        def asc(num_leafs, leaf_indices):
+            return sorted(orig(num_leafs, leaf_indices))
+        merkle.auth_structure_node_indices = asc
+    for k, v in env.items():
+        os.environ[k] = v
+    try:
+        return run(name)
+    finally:
+        merkle.auth_structure_node_indices = orig
+        for k in env:
+            del os.environ[k]
+
+
+def run_combo_grid():
+    """Multi-factor sweep over the strongest residual convention axes."""
+    import itertools
+
+    for auth, leaf, poly, enum in itertools.product((0, 1), repeat=4):
+        if (auth, leaf, poly, enum) == (0, 0, 0, 0):
+            continue  # baseline, known-failing
+        env = {}
+        if leaf:
+            env["TVM_FRI_LEAF_ZFIRST"] = "1"
+        if poly:
+            env["TVM_FRI_POLY_FULL"] = "0"
+        if enum:
+            env["TVM_ENUM_PREFIX"] = "0"
+        if variant_combo(bool(auth), env,
+                         f"auth{auth} leaf{leaf} polytrim{poly} "
+                         f"enumoff{enum}"):
+            return True
+    return False
+
+
 if __name__ == "__main__":
-    which = sys.argv[1:] or list(VARIANTS)
-    for name in which:
-        if VARIANTS[name]():
-            break
+    args = sys.argv[1:] or list(VARIANTS)
+    if args == ["combo"]:
+        run_combo_grid()
+    else:
+        for name in args:
+            if VARIANTS[name]():
+                break

@@ -21,7 +21,7 @@ from triton_vm_tpu.fields.bfe import P
 from triton_vm_tpu.models import example_programs as ex
 from triton_vm_tpu.stark.proof_stream import Claim
 from triton_vm_tpu.tables import extend_device, master as mt
-from triton_vm_tpu.vm.machine import VM, PublicInput
+from triton_vm_tpu.vm.machine import VM, NonDeterminism, PublicInput
 
 A = columns.aux_index
 
@@ -95,3 +95,4 @@ def test_extend_all_device_matches_host_every_instruction():
             idx = A(table, name)
             assert np.array_equal(want[:, idx, :], got[:, idx, :]), \
                 f"{table}.{name} mismatch"
+

@@ -293,3 +293,32 @@ def test_air_constraint_evaluators_golden_vector():
     assert acc == (17974882881108171077,
                    15638927082579294872,
                    9717283721935042729)
+
+
+def test_program_hash_halt_golden():
+    """Golden digest of the one-instruction `halt` program
+    (program.rs:494-510 `hash_simple_program`)."""
+    from triton_vm_tpu import triton_program
+
+    assert list(map(int, triton_program("halt").hash())) == [
+        0x4338_de79_520b_3949,
+        0xe6a2_129b_2885_0dc9,
+        0xfd3c_d098_6a86_0450,
+        0x69fd_ba91_0ceb_a7bc,
+        0x7e5b_118c_9594_c062,
+    ]
+
+
+def test_bezout_coefficient_polynomials_golden():
+    """Golden Bézout coefficient polynomials for RAM pointers [1, 2, 3]
+    (ram.rs:429-440 `bezout_coefficient_polynomials_are_as_expected`) —
+    pins the committed RAM-table contiguity-argument columns."""
+    from triton_vm_tpu.tables.master import (
+        bezout_coefficient_polynomials_coefficients)
+
+    a, b = bezout_coefficient_polynomials_coefficients([1, 2, 3])
+    assert list(map(int, a)) == [9, 0x7fff_ffff_7fff_fffc, 0]
+    assert list(map(int, b)) == [
+        5, 0xffff_fffe_ffff_fffb, 0x7fff_ffff_8000_0002]
+    ea, eb = bezout_coefficient_polynomials_coefficients([])
+    assert list(ea) == [] and list(eb) == []

@@ -26,7 +26,10 @@ def prove_program(program, public_input=None, non_determinism=None,
 
     Returns (stark, claim, proof) like the reference's `prove_program`
     (lib.rs:228-267)."""
-    public_input = public_input or PublicInput()
+    if public_input is None:
+        public_input = PublicInput()
+    elif not isinstance(public_input, PublicInput):
+        public_input = PublicInput(list(public_input))
     non_determinism = non_determinism or NonDeterminism()
     from .vm.machine import VM
 

@@ -157,7 +157,32 @@ class CallTarget:
 
 @dataclass(frozen=True)
 class TypeHint:
+    """Debug aid naming stack regions (instruction.rs:123-138):
+    `hint <variable_name>[: <type_name>] = stack[<start>[..<end>]]`."""
+
     raw: str
+    variable_name: str = ""
+    type_name: str | None = None
+    starting_index: int = 0
+    length: int = 1
+
+    @classmethod
+    def parse(cls, raw: str) -> "TypeHint":
+        import re
+
+        m = re.match(
+            r"^hint\s+([a-z_][a-z0-9_]*)\s*(?::\s*([a-zA-Z_][a-zA-Z0-9_]*)"
+            r"\s*)?=\s*stack\s*\[\s*(\d+)\s*(?:\.\.\s*(\d+)\s*)?\]$",
+            raw.strip())
+        if m is None:
+            raise ValueError(f"invalid type hint: {raw!r}")
+        variable, type_name, start, end = m.groups()
+        start = int(start)
+        length = (int(end) - start) if end is not None else 1
+        if length <= 0:
+            raise ValueError(f"type hint range is empty: {raw!r}")
+        return cls(raw=raw, variable_name=variable, type_name=type_name,
+                   starting_index=start, length=length)
 
 
 @dataclass(frozen=True)

@@ -64,7 +64,10 @@ def parse(source: str) -> list:
         kind, tok = tokens[i]
         i += 1
         if kind == "hint":
-            out.append(TypeHint(tok))
+            try:
+                out.append(TypeHint.parse(tok))
+            except ValueError as e:
+                raise ParseError(str(e)) from e
             continue
         if tok.endswith(":"):
             name = tok[:-1]

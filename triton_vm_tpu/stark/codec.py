@@ -88,8 +88,7 @@ def encode(value, shape) -> list[int]:
         return out
     if kind == "struct":
         out = []
-        for _, fshape in shape[1]:
-            fname = _
+        for fname, fshape in _struct_fields(shape[1]):
             field_enc = encode(value[fname], fshape)
             if static_length(fshape) is None and _struct_prefix():
                 out.append(len(field_enc))
@@ -104,6 +103,16 @@ def _struct_prefix() -> bool:
     import os
 
     return os.environ.get("TVM_STRUCT_PREFIX", "1") != "0"
+
+
+def _struct_fields(fields):
+    """TVM_STRUCT_REVERSE=1 encodes struct fields in reverse declaration
+    order (golden-transcript bisection aid)."""
+    import os
+
+    if os.environ.get("TVM_STRUCT_REVERSE", "0") == "1":
+        return list(reversed(fields))
+    return fields
 
 
 def _vec_item_prefix() -> bool:
@@ -172,7 +181,7 @@ def decode(words, shape, pos=0):
         return out, pos
     if kind == "struct":
         out = {}
-        for fname, fshape in shape[1]:
+        for fname, fshape in _struct_fields(shape[1]):
             if static_length(fshape) is None:
                 _check(words, pos, 1)
                 declared = words[pos]

@@ -1221,3 +1221,134 @@ def extend_lookup_device(main, aux, challenges, h):
 
 def extend_u32_device(main, aux, challenges, h):
     _extend_table_into("u32", main, aux, challenges)
+
+
+
+# ====================================================== derived columns
+# Device-tape evaluation of the degree-lowering substitutions: all 230
+# main / 41 aux derived columns in one compiled dispatch each, replacing
+# the vectorized host object math (master.fill_derived_{main,aux}_columns).
+#
+# Substitution RHSes may reference earlier derived columns (within a
+# phase, and later phases may read earlier phases' columns). Rather than
+# sequencing 271 dependent fills, the chains are INLINED: every read of a
+# derived column is replaced by that column's (already-rewritten) RHS
+# node, producing one row-local DAG whose outputs are all derived
+# columns at once. A NEXT-row read of a derived column inlines the RHS
+# with its inputs shifted current->next (well-defined because single-row
+# phases are row-local and tran-phase variables are never read at NEXT —
+# the reference's generated fill would panic otherwise,
+# substitutions.rs:266-301). Transition-phase outputs zero their last
+# row, exactly like the reference's s![0..num_rows-1] dual-row fill.
+
+
+@functools.lru_cache(maxsize=None)
+def _derived_fill_tape(main_only: bool):
+    """(tape, [(kind, col)], [zero_last_row]) for the inlined DAG."""
+    import itertools
+
+    from ..air import circuit as C
+    from ..air.compile import compile_tape
+    from ..air.evaluate import linearize, substitution_pairs
+    from ..air.master import master_air
+
+    air = master_air()
+    subs_by_phase = air.main_subs if main_only else air.aux_subs
+    fresh = itertools.count(1)
+    derived: dict[tuple, C.Node] = {}  # (MAIN|AUX, col) -> rewritten RHS
+    # Node ids are only unique PER BUILDER and each phase has its own
+    # builder (master.py), so the combined DAG must be rebuilt with fresh
+    # globally-unique ids. Memo keys use OBJECT identity (hash-consed
+    # within a builder), never node.id.
+    memo: dict[tuple, C.Node] = {}
+
+    def clone(node, shift):
+        key = (id(node), shift)
+        if key in memo:
+            return memo[key]
+        if node.kind == "input":
+            ik, col = node.value
+            base_ik = {C.NEXT_MAIN: C.MAIN, C.NEXT_AUX: C.AUX}.get(ik, ik)
+            if (base_ik, col) in derived:
+                want_shift = shift or ik in (C.NEXT_MAIN, C.NEXT_AUX)
+                assert not (shift and ik in (C.NEXT_MAIN, C.NEXT_AUX)), \
+                    "derived column read two rows ahead"
+                res = clone(derived[(base_ik, col)], want_shift)
+            else:
+                if shift:
+                    assert ik in (C.MAIN, C.AUX), \
+                        "cannot shift an already-next-row input"
+                    ik = C.NEXT_MAIN if ik == C.MAIN else C.NEXT_AUX
+                res = C.Node(next(fresh), "input", (ik, col))
+        elif node.kind != "binop":
+            res = C.Node(next(fresh), node.kind, node.value)
+        else:
+            l = clone(node.lhs, shift)
+            r = clone(node.rhs, shift)
+            res = C.Node(next(fresh), "binop", op=node.op, lhs=l, rhs=r)
+        memo[key] = res
+        return res
+
+    exprs, cols, zero_last = [], [], []
+    for phase in ("init", "cons", "tran", "term"):
+        for kind, col, rhs in substitution_pairs(subs_by_phase[phase]):
+            node = clone(rhs, False)
+            derived[(kind, col)] = node
+            exprs.append(C.Expr(None, node))
+            cols.append((kind, col))
+            zero_last.append(phase == "tran")
+
+    steps, out_ids = linearize(exprs)
+    return compile_tape(steps, out_ids), tuple(cols), tuple(zero_last)
+
+
+@functools.lru_cache(maxsize=8)
+def _derived_fill_fn(main_only: bool, h: int):
+    import jax
+
+    from ..air.compile import run_tape_scan
+
+    tape, cols, zero_last = _derived_fill_tape(main_only)
+    zl = np.array(zero_last, bool)
+
+    def fn(main_cols, aux_cols, ch):
+        next_main = gf.tmap(lambda a: jnp.roll(a, -1, axis=1), main_cols)
+        next_aux = (None if aux_cols is None else
+                    gfx.tmap(lambda a: jnp.roll(a, -1, axis=1), aux_cols))
+        out = run_tape_scan(tape, main_cols, aux_cols, ch,
+                            next_main=next_main, next_aux=next_aux)
+        # zero the last row of tran-phase outputs
+        mask = jnp.asarray(~zl, jnp.uint32)[:, None]
+        last = jnp.zeros((len(cols), h), jnp.uint32).at[:, h - 1].set(1)
+        keep = jnp.where(last == 1, mask, jnp.uint32(1))
+        return tuple(gf.tmap(lambda p: p * keep, lane) for lane in out)
+
+    import jax.numpy as jnp  # noqa: F401 (captured above)
+    return jax.jit(fn), cols
+
+
+def fill_derived_main_device(main: np.ndarray) -> None:
+    """Fill the 230 degree-lowering main columns on device (one compiled
+    tape over all substitutions; bit-identical to the host fill)."""
+    h = main.shape[0]
+    fn, cols = _derived_fill_fn(True, h)
+    out = fn(gf.from_u64(np.ascontiguousarray(main.T)), None, None)
+    vals = gf.to_u64(out[0])  # base lane (main outputs are base-typed)
+    for i, (_, col) in enumerate(cols):
+        main[:, col] = vals[i]
+
+
+def fill_derived_aux_device(main: np.ndarray, aux: np.ndarray,
+                            challenges) -> None:
+    """Fill the 41 degree-lowering aux columns on device."""
+    h = main.shape[0]
+    fn, cols = _derived_fill_fn(False, h)
+    ch = np.array(challenges, np.uint64)  # (63, 3)
+    out = fn(gf.from_u64(np.ascontiguousarray(main.T)),
+             tuple(gf.from_u64(np.ascontiguousarray(aux[:, :, c].T))
+                   for c in range(3)),
+             tuple(gf.from_u64(ch[:, c]) for c in range(3)))
+    for c in range(3):
+        vals = gf.to_u64(out[c])
+        for i, (_, col) in enumerate(cols):
+            aux[:, col, c] = vals[i]

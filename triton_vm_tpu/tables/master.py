@@ -428,8 +428,27 @@ def _pad_u32(main, aet):
 
 # ================================================== derived main columns
 
+def _use_device_derived(h: int) -> bool:
+    """TVM_DEVICE_DERIVED=1 forces the compiled device tape, =0 the exact
+    host object math; auto uses the device above 8k rows (compile cost
+    amortizes; both paths are bit-identical, tests/test_derived_fill.py)."""
+    import os
+
+    mode = os.environ.get("TVM_DEVICE_DERIVED", "auto")
+    if mode == "1":
+        return True
+    if mode == "0":
+        return False
+    return h >= 8192
+
+
 def fill_derived_main_columns(main: np.ndarray):
     """Populate the 230 degree-lowering main columns (device-vectorized)."""
+    if _use_device_derived(main.shape[0]):
+        from .extend_device import fill_derived_main_device
+
+        fill_derived_main_device(main)
+        return
     air = master_air()
     _fill_derived(main, None, air.main_subs, main_only=True)
 
@@ -447,8 +466,11 @@ def _fill_derived(main, aux, subs_by_phase, main_only):
         pairs = substitution_pairs(subs)
         for kind, col, rhs in pairs:
             steps, out_ids = linearize([C.Expr(None, rhs)])
-            dual = any(k == "input" and v[0] in (C.NEXT_MAIN, C.NEXT_AUX)
-                       for _, k, v in steps)
+            # Transition-phase derived columns are filled dual-row for rows
+            # 0..h-2 and left ZERO in the last row — even when the RHS has
+            # no next-row reads (substitutions.rs:266-301 slices
+            # s![0..num_rows-1] unconditionally for the tran section).
+            dual = phase == "tran"
             vals = _eval_sub_host_vectorized(steps, out_ids[0], main, aux, dual)
             if kind == C.MAIN:
                 main[:, col] = vals
@@ -1197,6 +1219,11 @@ def _extend_u32(main, aux, ch, h):
 def fill_derived_aux_columns(main: np.ndarray, aux: np.ndarray, challenges):
     """Populate the 41 degree-lowering aux columns (vectorized over rows;
     exact object-int math)."""
+    if _use_device_derived(main.shape[0]):
+        from .extend_device import fill_derived_aux_device
+
+        fill_derived_aux_device(main, aux, challenges)
+        return
     air = master_air()
     for phase in ("init", "cons", "tran", "term"):
         subs = air.aux_subs[phase]
@@ -1205,8 +1232,10 @@ def fill_derived_aux_columns(main: np.ndarray, aux: np.ndarray, challenges):
         for kind, col, rhs in substitution_pairs(subs):
             assert kind == C.AUX
             steps, out_ids = linearize([C.Expr(None, rhs)])
-            dual = any(k == "input" and v[0] in (C.NEXT_MAIN, C.NEXT_AUX)
-                       for _, k, v in steps)
+            # All tran-phase derived columns leave the last row ZERO
+            # (substitutions.rs:331-368 aux_dual_row_substitutions slices
+            # s![0..num_rows-1] unconditionally), NEXT reads or not.
+            dual = phase == "tran"
             _eval_aux_sub_vectorized(steps, out_ids[0], main, aux,
                                      challenges, col, dual)
 

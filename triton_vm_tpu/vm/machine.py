@@ -215,8 +215,16 @@ def _tip5_fixed_length_state(rate_input):
 
 class VMState:
     def __init__(self, program: Program, public_input=None, non_determinism=None):
-        public_input = public_input or PublicInput()
-        non_determinism = non_determinism or NonDeterminism()
+        # `impl Into<PublicInput>` ergonomics (vm.rs / lib.rs:228): raw
+        # token sequences coerce to PublicInput / NonDeterminism.
+        if public_input is None:
+            public_input = PublicInput()
+        elif not isinstance(public_input, PublicInput):
+            public_input = PublicInput(list(public_input))
+        if non_determinism is None:
+            non_determinism = NonDeterminism()
+        elif not isinstance(non_determinism, NonDeterminism):
+            non_determinism = NonDeterminism(list(non_determinism))
         self.program = program
         self.public_input = deque(t % P for t in public_input.individual_tokens)
         self.public_output: list[int] = []
