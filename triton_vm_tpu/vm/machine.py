@@ -8,6 +8,7 @@ coprocessor call emission (vm.rs:109-124), and `to_processor_row`
 
 from __future__ import annotations
 
+import os
 from collections import deque
 from dataclasses import dataclass, field
 from typing import Optional
@@ -815,6 +816,20 @@ class VM:
         from .aet import AlgebraicExecutionTrace
 
         state = VMState(program, public_input, non_determinism)
+        if os.environ.get("TVM_NATIVE_VM", "1") != "0":
+            # C++ witness core (native/vm_core.cpp); bit-identical AET,
+            # tests/test_native_vm.py. Falls through to the Python
+            # interpreter when unavailable — and on any VM error, so the
+            # typed error taxonomy has a single implementation.
+            from . import native
+
+            result = native.trace_execution_native(
+                state.program, PublicInput(list(state.public_input)),
+                NonDeterminism(list(state.secret_individual_tokens),
+                               list(state.secret_digests),
+                               dict(state.ram)))
+            if result is not None:
+                return result
         aet = AlgebraicExecutionTrace(program)
         while not state.halting:
             aet.record_state(state)
