@@ -40,6 +40,28 @@ def test_prove_and_verify_fibonacci():
 
 
 @pytest.mark.slow
+def test_pinned_transcript_regression():
+    """Self-pinned full-proof Tip5 digest under a fixed seed: any silent
+    Fiat-Shamir / codec / table-fill transcript drift fails here (mirrors
+    the reference's derandomized-proof pin, stark.rs:2434-2460). Update
+    the constant only for a deliberate, root-caused transcript change."""
+    from triton_vm_tpu.crypto import tip5
+
+    program = ex.fibonacci()
+    aet, output = VM.trace_execution(program, PublicInput([10]))
+    claim = Claim.about_program(program).with_input([10]).with_output(output)
+    proof = Stark().prove(claim, aet, seed=SEED)
+    w = proof.words
+    assert tuple(tip5.hash_varlen([len(w) + 1, len(w)] + w)) == (
+        7024632114429628424,
+        11029959989076809184,
+        8246888127736946106,
+        15137373578292407606,
+        15772038778546270844,
+    )
+
+
+@pytest.mark.slow
 def test_prove_and_verify_with_stir_ldt():
     """Full STARK pipeline with STIR as the low-degree test
     (stark.rs LdtChoice::Stir)."""

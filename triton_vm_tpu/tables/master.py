@@ -37,6 +37,26 @@ def _inverse_or_zero(x):
     return pow(x, P - 2, P) if x % P else 0
 
 
+def _rows_array(rows, width) -> np.ndarray:
+    """(n, width) uint64 view of AET rows (native path already stores
+    numpy; the Python interpreter stores lists of tuples)."""
+    if isinstance(rows, np.ndarray):
+        return rows if rows.size else rows.reshape(0, width)
+    a = np.asarray(rows, dtype=np.uint64)
+    return a.reshape(-1, width) if a.size else a.reshape(0, width)
+
+
+def _batch_inverse_or_zero(values: np.ndarray) -> np.ndarray:
+    """Vectorized-ish _inverse_or_zero over a uint64 array: Montgomery
+    batch inversion on the nonzero entries (one modpow total)."""
+    out = np.zeros(len(values), np.uint64)
+    nz = np.nonzero(values % P)[0]
+    if len(nz):
+        inverted = bfe.batch_inverse([int(v) for v in values[nz]])
+        out[nz] = np.array(inverted, np.uint64)
+    return out
+
+
 # ============================================================== main table
 
 def fill_main_table(aet, padded_height=None) -> np.ndarray:
@@ -85,26 +105,33 @@ def _fill_program(main, aet):
 
 def _pad_program(main, aet):
     start = aet.padded_program_length()
-    for i in range(start, main.shape[0]):
-        main[i, M("program", "Address")] = i
-        idx_in_chunk = i % tip5.RATE
-        main[i, M("program", "IndexInChunk")] = idx_in_chunk
-        main[i, M("program", "MaxMinusIndexInChunkInv")] = _inverse_or_zero(
-            tip5.RATE - 1 - idx_in_chunk)
-        main[i, M("program", "IsHashInputPadding")] = 1
-        main[i, M("program", "IsTablePadding")] = 1
+    h = main.shape[0]
+    if start >= h:
+        return
+    idx = np.arange(start, h, dtype=np.uint64)
+    iic = idx % np.uint64(tip5.RATE)
+    inv_by_chunk_index = np.array(
+        [_inverse_or_zero(tip5.RATE - 1 - j) for j in range(tip5.RATE)],
+        np.uint64)
+    main[start:h, M("program", "Address")] = idx
+    main[start:h, M("program", "IndexInChunk")] = iic
+    main[start:h, M("program", "MaxMinusIndexInChunkInv")] = \
+        inv_by_chunk_index[iic.astype(np.int64)]
+    main[start:h, M("program", "IsHashInputPadding")] = 1
+    main[start:h, M("program", "IsTablePadding")] = 1
 
 
 def _fill_processor(main, aet, clk_jump_diffs):
     n = len(aet.processor_rows)
     start = columns.MAIN_TABLE_START["processor"]
-    for i, row in enumerate(aet.processor_rows):
-        main[i, start:start + len(row)] = np.array(
-            [v % P for v in row], np.uint64)
-    mult = np.zeros(n, np.uint64)
-    for diff in (clk_jump_diffs["op_stack"] + clk_jump_diffs["ram"]
-                 + clk_jump_diffs["jump_stack"]):
-        mult[diff] += 1
+    proc = _rows_array(aet.processor_rows, 39)
+    if n:
+        main[:n, start:start + 39] = proc % np.uint64(P)
+    diffs = np.concatenate([
+        np.asarray(clk_jump_diffs[t], np.int64).reshape(-1)
+        for t in ("op_stack", "ram", "jump_stack")])
+    # every clock-jump difference is a forward jump within the trace: < n
+    mult = np.bincount(diffs, minlength=n).astype(np.uint64)
     main[:n, M("processor", "ClockJumpDifferenceLookupMultiplicity")] = mult
 
 
@@ -126,17 +153,19 @@ def _pad_processor(main, aet):
 
 
 def _fill_op_stack(main, aet, clk_jump_diffs):
-    rows = sorted(aet.op_stack_rows, key=lambda r: (r[2], r[0]))
-    for i, (clk_v, shrink, pointer, underflow) in enumerate(rows):
-        main[i, M("op_stack", "CLK")] = clk_v
-        main[i, M("op_stack", "IB1ShrinkStack")] = shrink
-        main[i, M("op_stack", "StackPointer")] = pointer
-        main[i, M("op_stack", "FirstUnderflowElement")] = underflow
-    diffs = []
-    for i in range(len(rows) - 1):
-        if rows[i][2] == rows[i + 1][2]:
-            diffs.append((rows[i + 1][0] - rows[i][0]) % P)
-    clk_jump_diffs["op_stack"] = diffs
+    a = _rows_array(aet.op_stack_rows, 4)
+    n = len(a)
+    if n == 0:
+        clk_jump_diffs["op_stack"] = []
+        return
+    # stable sort by (pointer, clk) — matches sorted() on (r[2], r[0])
+    s = a[np.lexsort((a[:, 0], a[:, 2]))]
+    main[:n, M("op_stack", "CLK")] = s[:, 0]
+    main[:n, M("op_stack", "IB1ShrinkStack")] = s[:, 1]
+    main[:n, M("op_stack", "StackPointer")] = s[:, 2]
+    main[:n, M("op_stack", "FirstUnderflowElement")] = s[:, 3]
+    same_ptr = s[:-1, 2] == s[1:, 2]
+    clk_jump_diffs["op_stack"] = (s[1:, 0] - s[:-1, 0])[same_ptr]
 
 
 def _pad_op_stack(main, aet):
@@ -152,39 +181,38 @@ def _pad_op_stack(main, aet):
 
 
 def _fill_ram(main, aet, clk_jump_diffs):
-    rows = sorted(aet.ram_rows, key=lambda r: (r[2], r[0]))
-    n = len(rows)
-    for i, (clk_v, itype, ptr, val) in enumerate(rows):
-        main[i, M("ram", "CLK")] = clk_v
-        main[i, M("ram", "InstructionType")] = itype
-        main[i, M("ram", "RamPointer")] = ptr
-        main[i, M("ram", "RamValue")] = val
+    a = _rows_array(aet.ram_rows, 4)
+    n = len(a)
     if n == 0:
         clk_jump_diffs["ram"] = []
         return
-    # Bezout coefficient polynomials for the unique (sorted) RAM pointers
-    unique_ptrs = []
-    for r in rows:
-        if not unique_ptrs or unique_ptrs[-1] != r[2]:
-            unique_ptrs.append(r[2])
-    b0, b1 = bezout_coefficient_polynomials_coefficients(unique_ptrs)
-    b0, b1 = list(b0), list(b1)
+    # stable sort by (pointer, clk)
+    s = a[np.lexsort((a[:, 0], a[:, 2]))]
+    main[:n, M("ram", "CLK")] = s[:, 0]
+    main[:n, M("ram", "InstructionType")] = s[:, 1]
+    main[:n, M("ram", "RamPointer")] = s[:, 2]
+    main[:n, M("ram", "RamValue")] = s[:, 3]
 
-    cur0, cur1 = b0.pop(), b1.pop()
-    main[0, M("ram", "BezoutCoefficientPolynomialCoefficient0")] = cur0
-    main[0, M("ram", "BezoutCoefficientPolynomialCoefficient1")] = cur1
-    diffs = []
-    for i in range(n - 1):
-        ramp_diff = (rows[i + 1][2] - rows[i][2]) % P
-        if ramp_diff == 0:
-            diffs.append((rows[i + 1][0] - rows[i][0]) % P)
-        else:
-            cur0, cur1 = b0.pop(), b1.pop()
-        main[i, M("ram", "InverseOfRampDifference")] = _inverse_or_zero(ramp_diff)
-        main[i + 1, M("ram", "BezoutCoefficientPolynomialCoefficient0")] = cur0
-        main[i + 1, M("ram", "BezoutCoefficientPolynomialCoefficient1")] = cur1
-    assert not b0 and not b1
-    clk_jump_diffs["ram"] = diffs
+    # Bezout coefficient polynomials for the unique (sorted) RAM pointers.
+    # Row r carries coefficient index (n_unique - 1 - rank(ptr_r)): the
+    # reference pops from the back of the coefficient list on every
+    # pointer change (ram.rs:117-141).
+    unique_ptrs, ranks = np.unique(s[:, 2], return_inverse=True)
+    b0, b1 = bezout_coefficient_polynomials_coefficients(
+        [int(p) for p in unique_ptrs])
+    idx = len(unique_ptrs) - 1 - ranks
+    main[:n, M("ram", "BezoutCoefficientPolynomialCoefficient0")] = \
+        np.array(b0, np.uint64)[idx]
+    main[:n, M("ram", "BezoutCoefficientPolynomialCoefficient1")] = \
+        np.array(b1, np.uint64)[idx]
+
+    # pointers are sorted ascending and < P: plain uint64 subtraction is
+    # exact and already reduced mod P
+    ramp_diff = s[1:, 2] - s[:-1, 2]
+    main[:n - 1, M("ram", "InverseOfRampDifference")] = \
+        _batch_inverse_or_zero(ramp_diff)
+    same_ptr = ramp_diff == 0
+    clk_jump_diffs["ram"] = (s[1:, 0] - s[:-1, 0])[same_ptr]
 
 
 def bezout_coefficient_polynomials_coefficients(unique_roots):
@@ -220,34 +248,20 @@ def _pad_ram(main, aet):
 
 
 def _fill_jump_stack(main, aet, clk_jump_diffs):
-    CLK_, IsP, IP_, CI_, NIA_ = 0, 1, 2, 3, 4  # processor row offsets
-    JSP_, JSO_, JSD_ = 12, 13, 14
-    buckets: list[list] = []
-    for row in aet.processor_rows:
-        jsp = row[JSP_]
-        entry = (row[CLK_], row[CI_], row[JSO_], row[JSD_])
-        if jsp < len(buckets):
-            buckets[jsp].append(entry)
-        elif jsp == len(buckets):
-            buckets.append([entry])
-        else:
-            raise AssertionError("JSP must increase by at most 1")
-    i = 0
-    for jsp, entries in enumerate(buckets):
-        for (clk_v, ci, jso, jsd) in entries:
-            main[i, M("jump_stack", "CLK")] = clk_v
-            main[i, M("jump_stack", "CI")] = ci
-            main[i, M("jump_stack", "JSP")] = jsp
-            main[i, M("jump_stack", "JSO")] = jso
-            main[i, M("jump_stack", "JSD")] = jsd
-            i += 1
-    assert i == len(aet.processor_rows)
-    diffs = []
-    for r in range(i - 1):
-        if main[r, M("jump_stack", "JSP")] == main[r + 1, M("jump_stack", "JSP")]:
-            diffs.append(int(main[r + 1, M("jump_stack", "CLK")]
-                             - main[r, M("jump_stack", "CLK")]))
-    clk_jump_diffs["jump_stack"] = diffs
+    CLK_, CI_, JSP_, JSO_, JSD_ = 0, 3, 12, 13, 14  # processor row offsets
+    proc = _rows_array(aet.processor_rows, 39)
+    n = len(proc)
+    # bucket-by-JSP in trace order == stable sort by JSP (rows are
+    # recorded in CLK order)
+    order = np.argsort(proc[:, JSP_], kind="stable")
+    s = proc[order]
+    main[:n, M("jump_stack", "CLK")] = s[:, CLK_]
+    main[:n, M("jump_stack", "CI")] = s[:, CI_]
+    main[:n, M("jump_stack", "JSP")] = s[:, JSP_]
+    main[:n, M("jump_stack", "JSO")] = s[:, JSO_]
+    main[:n, M("jump_stack", "JSD")] = s[:, JSD_]
+    same_jsp = s[:-1, JSP_] == s[1:, JSP_]
+    clk_jump_diffs["jump_stack"] = (s[1:, CLK_] - s[:-1, CLK_])[same_jsp]
 
 
 def _pad_jump_stack(main, aet):
@@ -260,7 +274,8 @@ def _pad_jump_stack(main, aet):
     num_padding = h - n
     clk_col = M("jump_stack", "CLK")
     max_clk_before = n - 1
-    row_idx = next(i for i in range(n) if int(main[i, clk_col]) == max_clk_before)
+    row_idx = int(np.nonzero(main[:n, clk_col]
+                             == np.uint64(max_clk_before))[0][0])
     move_src = slice(row_idx + 1, n)
     num_moved = n - (row_idx + 1)
     if num_moved > 0:
@@ -279,11 +294,12 @@ def _fill_hash(main, aet):
     i = 0
     for rows, mode in ((aet.program_hash_rows, 1), (aet.sponge_rows, 2),
                        (aet.hash_rows, 3)):
-        for row in rows:
-            main[i, start:start + width] = np.array(
-                [v % P for v in row], np.uint64)
-            main[i, start + mode_off] = mode
-            i += 1
+        a = _rows_array(rows, width)
+        n = len(a)
+        if n:
+            main[i:i + n, start:start + width] = a % np.uint64(P)
+            main[i:i + n, start + mode_off] = mode
+        i += n
 
 
 def _pad_hash(main, aet):
