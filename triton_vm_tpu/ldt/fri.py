@@ -96,20 +96,26 @@ class Fri:
     def prove(self, codeword, proof_stream) -> list[int]:
         """Returns the (first-round) revealed indices (A-indices).
 
-        `codeword` may be a list of XFE tuples or a numpy (n, 3) uint64
-        array; all folding, leaf hashing and tree building run on device
-        (fri.rs:349-366 semantics, device codewords end-to-end)."""
+        `codeword` may be a device-resident gfx tuple, a list of XFE
+        tuples, or a numpy (n, 3) uint64 array; all folding, leaf hashing
+        and tree building run on device (fri.rs:349-366 semantics, device
+        codewords end-to-end)."""
         import numpy as np
 
         from ..ops import gf, gfx
 
-        cw = np.asarray(codeword, np.uint64)
-        if cw.shape[0] != self.domain.length:
-            raise LdtError("initial codeword length mismatch")
+        if isinstance(codeword, tuple):  # gfx device value
+            cur = codeword
+            if gf.shape(cur[0])[0] != self.domain.length:
+                raise LdtError("initial codeword length mismatch")
+        else:
+            cw = np.asarray(codeword, np.uint64)
+            if cw.shape[0] != self.domain.length:
+                raise LdtError("initial codeword length mismatch")
+            cur = gfx.from_u64(cw)
 
         rounds = []  # (domain, codeword gfx (n,), tree)
         domain = self.domain
-        cur = gfx.from_u64(cw)
 
         def commit(domain, cw_dev):
             import os

@@ -166,6 +166,10 @@ class Stir:
     def prove(self, codeword, proof_stream) -> list[int]:
         """stir.rs:885-993. Returns the first round's raw query indices."""
         domain = self.domain
+        if isinstance(codeword, tuple):  # gfx device value
+            from ..ops import gfx
+            codeword = [tuple(int(c) for c in row)
+                        for row in gfx.to_u64(codeword)]
         if len(codeword) != domain.length:
             raise LdtError("initial codeword length mismatch")
         k = self.folding_factor

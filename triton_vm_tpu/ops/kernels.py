@@ -13,6 +13,8 @@ rows.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -136,3 +138,116 @@ def ood_shift_inverses(ds, alpha):
 @jax.jit
 def xfe_add_vec(a, b):
     return gfx.add(a, b)
+
+
+def _domain_powers(generator: int, offset: int, n: int):
+    """gf (n,) of offset * generator^i, built from host ints (becomes an
+    XLA constant-folded log-depth concat, no host->device transfer)."""
+    v = gf.ones((1,))
+    log_n = n.bit_length() - 1
+    for t in range(log_n):
+        c = pow(generator, 1 << t, 0xFFFFFFFF00000001)
+        v = gf.concatenate([v, gf.mul_const(v, c)], axis=-1)
+    return gf.mul_const(v, offset) if offset != 1 else v
+
+
+def _bary_eval_at(cols_gf, cols_gfx, xs, point):
+    """Barycentric evaluation of every column's interpolant at an
+    out-of-domain XFE `point` (master_table.rs:348-390 semantics via the
+    committed codewords: the randomized interpolant IS the codeword's
+    interpolant, so the barycentric formula over the full evaluation
+    domain yields the identical field element).
+
+    cols_gf: gf (m, n) or None; cols_gfx: gfx (k, n) or None; xs gf (n,);
+    point gfx (). Returns (gfx (m,), gfx (k,))."""
+    dods, denom = ood_shift_inverses(xs, point)
+    dinv = gfx.inv(denom)
+    out_gf = out_gfx = None
+    if cols_gf is not None:
+        num = tuple(_gf_dot_rows(cols_gf, dods[c]) for c in range(3))
+        out_gf = gfx.mul(num, dinv)
+    if cols_gfx is not None:
+        prod = gfx.mul(cols_gfx, gfx.tmap(lambda a: a[None, :], dods))
+        num = tuple(_sum_axis1(prod[c]) for c in range(3))
+        out_gfx = gfx.mul(num, dinv)
+    return out_gf, out_gfx
+
+
+@functools.lru_cache(maxsize=8)
+def ood_stage_fn(E: int, L: int, e_gen: int, e_off: int, l_gen: int,
+                 l_off: int):
+    """One-dispatch out-of-domain stage (stark.rs:520-560):
+    randomized main/aux rows at alpha and omega*alpha (via barycentric
+    over the committed codewords) plus all 5 quotient-segment evaluations
+    at alpha^k and (zeta*alpha)^k.
+
+    fn(main_lde (NM,E) gf, aux_lde (NA,E) gfx, segs (5,L) gfx,
+       alpha, omega_alpha, apk, zapk: gfx scalars)
+    -> (main@alpha, aux@alpha, main@omega_alpha, aux@omega_alpha,
+        segs@apk, segs@zapk) as gfx vectors."""
+
+    def fn(main_lde, aux_lde, segs_in, alpha, omega_alpha, apk, zapk):
+        segs = tuple(gf.stack([s[c] for s in segs_in], axis=0)
+                     for c in range(3))
+        xs_e = _domain_powers(e_gen, e_off, E)
+        xs_l = _domain_powers(l_gen, l_off, L)
+        m1, a1 = _bary_eval_at(main_lde, aux_lde, xs_e, alpha)
+        m2, a2 = _bary_eval_at(main_lde, aux_lde, xs_e, omega_alpha)
+        _, s1 = _bary_eval_at(None, segs, xs_l, apk)
+        _, s2 = _bary_eval_at(None, segs, xs_l, zapk)
+        return m1, a1, m2, a2, s1, s2
+
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=8)
+def deep_combination_fn(S: int, L: int, s_gen: int, s_off: int, l_off: int,
+                        stride_ma: int, stride_seg: int):
+    """One-dispatch DEEP combination codeword (stark.rs:560-644):
+
+    - weighted sum of all committed main/aux codewords (on the short
+      domain, i.e. the eval domain strided by `stride_ma`),
+    - the two weighted quotient-segment codewords (zeta-chain p/r split),
+    - the four DEEP codewords (cw - ood_value) / (x - ood_point),
+    - their weighted sum, low-degree extended from the short domain to
+      the FRI domain when S != L.
+
+    fn(main_lde, aux_lde, segs, w_main gfx (NM,), w_aux, w_qs (5,),
+       w_deep (4,), points gfx (4,), values gfx (4,)) -> gfx (L,)."""
+    from . import ntt
+
+    def fn(main_lde, aux_lde, segs_in, w_main, w_aux, w_qs, w_deep,
+           points, values):
+        segs = tuple(gf.stack([s[c] for s in segs_in], axis=0)
+                     for c in range(3))
+        ms = (gf.tmap(lambda a: a[:, ::stride_ma], main_lde)
+              if stride_ma != 1 else main_lde)
+        axs = (gfx.tmap(lambda a: a[:, ::stride_ma], aux_lde)
+               if stride_ma != 1 else aux_lde)
+        ss = (gfx.tmap(lambda a: a[:, ::stride_seg], segs)
+              if stride_seg != 1 else segs)
+        xs_s = _domain_powers(s_gen, s_off, S)
+
+        cw_ma = weighted_column_sum(ms, axs, w_main, w_aux)
+        seg_w = gfx.mul(ss, gfx.tmap(lambda a: a[:, None], w_qs))
+        shared = tuple(_sum0(gfx.tmap(lambda a: a[1:4], seg_w)[c])
+                       for c in range(3))
+        cw_p = gfx.add(shared, gfx.tmap(lambda a: a[0], seg_w))
+        cw_r = gfx.add(shared, gfx.tmap(lambda a: a[4], seg_w))
+
+        comb = gfx.zeros((S,))
+        for i, cw in enumerate((cw_ma, cw_ma, cw_p, cw_r)):
+            pt = gfx.tmap(lambda a: a[i], points)
+            v = gfx.tmap(lambda a: a[i], values)
+            dc = deep_codeword(cw, xs_s, pt, v)
+            comb = gfx.add(comb, gfx.mul(dc, gfx.tmap(lambda a: a[i],
+                                                      w_deep)))
+        if S != L:
+            c_br = tuple(ntt.coeffs_bitrev_from_values(comb[c], s_off)
+                         for c in range(3))
+            c_br = tuple(ntt.pad_coeffs_bitrev(c, L) for c in c_br)
+            comb = tuple(ntt.values_from_coeffs_bitrev(c, l_off)
+                         for c in c_br)
+        return comb
+
+    return jax.jit(fn)

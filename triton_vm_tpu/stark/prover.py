@@ -431,9 +431,11 @@ class Prover:
         polys_dev, cws_dev, quot_flat = _segmentify_fn(
             Q, L, n_qr, quot_dom.offset, ldt_dom.offset)(
                 quotient_dev, gfx.from_u64(q_randomizer))
-        # small host copies of the 5 segment polynomials (for the OOD
-        # Horner evaluations and the DEEP combination polynomials)
-        rand_seg_polys = [gfx.to_u64(p) for p in polys_dev]
+        # small host copies of the 5 segment polynomials, needed only on
+        # the JIT path (the cached path evaluates the committed segment
+        # codewords barycentrically on device instead)
+        rand_seg_polys = ([gfx.to_u64(p) for p in polys_dev] if use_jit
+                          else None)
 
         _trace("quot merkle", "hash")
         quot_tree = merkle.MerkleTree.from_flat(
@@ -445,27 +447,44 @@ class Prover:
         _trace("OOD", "DEEP")
         alpha = proof_stream.sample_scalars(1)[0]
         omega_alpha = xfe.bfe_mul(alpha, trace_dom.generator)
-
-        ood_main_curr, ood_aux_curr = _ood_rows(
-            main, aux, main_rand_coeffs, aux_rand_coeffs, trace_dom, alpha)
-        proof_stream.enqueue(ProofItem("OutOfDomainMainRow", ood_main_curr))
-        proof_stream.enqueue(ProofItem("OutOfDomainAuxRow", ood_aux_curr))
-        ood_main_next, ood_aux_next = _ood_rows(
-            main, aux, main_rand_coeffs, aux_rand_coeffs, trace_dom,
-            omega_alpha)
-        proof_stream.enqueue(ProofItem("OutOfDomainMainRow", ood_main_next))
-        proof_stream.enqueue(ProofItem("OutOfDomainAuxRow", ood_aux_next))
-
         alpha_pow_k = xfe.mod_pow(alpha, NUM_QUOTIENT_SEGMENTS)
         zeta_alpha = xfe.bfe_mul(alpha, ZETA)
         zeta_alpha_pow_k = xfe.mod_pow(zeta_alpha, NUM_QUOTIENT_SEGMENTS)
 
-        ood_quot_p = [_poly_eval_arr(rand_seg_polys[i], alpha_pow_k)
-                      for i in range(NUM_QUOTIENT_SEGMENTS)]
+        if use_jit:
+            ood_main_curr, ood_aux_curr = _ood_rows(
+                main, aux, main_rand_coeffs, aux_rand_coeffs, trace_dom,
+                alpha)
+            ood_main_next, ood_aux_next = _ood_rows(
+                main, aux, main_rand_coeffs, aux_rand_coeffs, trace_dom,
+                omega_alpha)
+            ood_quot_p = [_poly_eval_arr(rand_seg_polys[i], alpha_pow_k)
+                          for i in range(NUM_QUOTIENT_SEGMENTS)]
+            ood_quot_r = [_poly_eval_arr(rand_seg_polys[i + 1],
+                                         zeta_alpha_pow_k)
+                          for i in range(NUM_QUOTIENT_SEGMENTS)]
+        else:
+            # one fused dispatch: barycentric rows at alpha / omega*alpha
+            # over the committed codewords + all 5 segment evaluations
+            m1, a1, m2, a2, s1, s2 = kernels.ood_stage_fn(
+                E, L, eval_dom.generator, eval_dom.offset,
+                ldt_dom.generator, ldt_dom.offset)(
+                    main_lde_dev, aux_lde_dev, tuple(cws_dev),
+                    gfx.full((), tuple(alpha)),
+                    gfx.full((), tuple(omega_alpha)),
+                    gfx.full((), tuple(alpha_pow_k)),
+                    gfx.full((), tuple(zeta_alpha_pow_k)))
+            ood_main_curr, ood_aux_curr = _gfx_to_rows(m1), _gfx_to_rows(a1)
+            ood_main_next, ood_aux_next = _gfx_to_rows(m2), _gfx_to_rows(a2)
+            seg_p, seg_r = _gfx_to_rows(s1), _gfx_to_rows(s2)
+            ood_quot_p = seg_p[:NUM_QUOTIENT_SEGMENTS]
+            ood_quot_r = seg_r[1:]
+        proof_stream.enqueue(ProofItem("OutOfDomainMainRow", ood_main_curr))
+        proof_stream.enqueue(ProofItem("OutOfDomainAuxRow", ood_aux_curr))
+        proof_stream.enqueue(ProofItem("OutOfDomainMainRow", ood_main_next))
+        proof_stream.enqueue(ProofItem("OutOfDomainAuxRow", ood_aux_next))
         proof_stream.enqueue(ProofItem("OutOfDomainQuotientSegments",
                                        ood_quot_p))
-        ood_quot_r = [_poly_eval_arr(rand_seg_polys[i + 1], zeta_alpha_pow_k)
-                      for i in range(NUM_QUOTIENT_SEGMENTS)]
         proof_stream.enqueue(ProofItem("OutOfDomainQuotientSegments",
                                        ood_quot_r))
 
@@ -474,47 +493,78 @@ class Prover:
         short_dom = ldt_dom if L <= Q else quot_dom
 
         _trace("weighted sum", "DEEP")
-        main_aux_poly = _weighted_sum_of_columns(
-            main, aux, main_rand_coeffs, aux_rand_coeffs, trace_dom,
-            weights["main"], weights["aux"])
-        main_aux_arr = np.array(main_aux_poly, np.uint64).reshape(-1, 3)
-        main_aux_codeword = _eval_xfe_poly_on_domain_arr(
-            main_aux_arr, short_dom)
+        if use_jit:
+            main_aux_poly = _weighted_sum_of_columns(
+                main, aux, main_rand_coeffs, aux_rand_coeffs, trace_dom,
+                weights["main"], weights["aux"])
+            main_aux_arr = np.array(main_aux_poly, np.uint64).reshape(-1, 3)
+            main_aux_codeword = _eval_xfe_poly_on_domain_arr(
+                main_aux_arr, short_dom)
 
-        w_qs = weights["quot_segments"]
-        shared_poly = None
-        for i in range(1, NUM_RANDOMIZED_QUOTIENT_SEGMENTS - 1):
-            term = _xfe_scalar_mul_arr(rand_seg_polys[i], w_qs[i])
-            shared_poly = term if shared_poly is None else _np_poly_add(
-                shared_poly, term)
-        poly_p = _np_poly_add(
-            _xfe_scalar_mul_arr(rand_seg_polys[0], w_qs[0]), shared_poly)
-        poly_r = _np_poly_add(
-            _xfe_scalar_mul_arr(rand_seg_polys[-1], w_qs[-1]), shared_poly)
-        codeword_p = _eval_xfe_poly_on_domain_arr(poly_p, short_dom)
-        codeword_r = _eval_xfe_poly_on_domain_arr(poly_r, short_dom)
+            w_qs = weights["quot_segments"]
+            shared_poly = None
+            for i in range(1, NUM_RANDOMIZED_QUOTIENT_SEGMENTS - 1):
+                term = _xfe_scalar_mul_arr(rand_seg_polys[i], w_qs[i])
+                shared_poly = term if shared_poly is None else _np_poly_add(
+                    shared_poly, term)
+            poly_p = _np_poly_add(
+                _xfe_scalar_mul_arr(rand_seg_polys[0], w_qs[0]), shared_poly)
+            poly_r = _np_poly_add(
+                _xfe_scalar_mul_arr(rand_seg_polys[-1], w_qs[-1]),
+                shared_poly)
+            codeword_p = _eval_xfe_poly_on_domain_arr(poly_p, short_dom)
+            codeword_r = _eval_xfe_poly_on_domain_arr(poly_r, short_dom)
 
-        deep = []
-        deep.append(_deep_codeword_arr(
-            main_aux_codeword, short_dom, alpha,
-            _poly_eval_arr(main_aux_arr, alpha)))
-        deep.append(_deep_codeword_arr(
-            main_aux_codeword, short_dom, omega_alpha,
-            _poly_eval_arr(main_aux_arr, omega_alpha)))
-        deep.append(_deep_codeword_arr(
-            codeword_p, short_dom, alpha_pow_k,
-            _poly_eval_arr(poly_p, alpha_pow_k)))
-        deep.append(_deep_codeword_arr(
-            codeword_r, short_dom, zeta_alpha_pow_k,
-            _poly_eval_arr(poly_r, zeta_alpha_pow_k)))
+            deep = []
+            deep.append(_deep_codeword_arr(
+                main_aux_codeword, short_dom, alpha,
+                _poly_eval_arr(main_aux_arr, alpha)))
+            deep.append(_deep_codeword_arr(
+                main_aux_codeword, short_dom, omega_alpha,
+                _poly_eval_arr(main_aux_arr, omega_alpha)))
+            deep.append(_deep_codeword_arr(
+                codeword_p, short_dom, alpha_pow_k,
+                _poly_eval_arr(poly_p, alpha_pow_k)))
+            deep.append(_deep_codeword_arr(
+                codeword_r, short_dom, zeta_alpha_pow_k,
+                _poly_eval_arr(poly_r, zeta_alpha_pow_k)))
 
-        w_deep = weights["deep"]
-        combination = np.zeros((short_dom.length, 3), np.uint64)
-        for w, cw in zip(w_deep, deep):
-            combination = _np_xadd(combination, _xfe_scalar_mul_arr(cw, w))
-        if short_dom.length != L:
-            comb_coeffs = _interp_xfe_codeword_arr(combination, short_dom)
-            combination = _eval_xfe_poly_on_domain_arr(comb_coeffs, ldt_dom)
+            w_deep = weights["deep"]
+            combination = np.zeros((short_dom.length, 3), np.uint64)
+            for w, cw in zip(w_deep, deep):
+                combination = _np_xadd(combination,
+                                       _xfe_scalar_mul_arr(cw, w))
+            if short_dom.length != L:
+                comb_coeffs = _interp_xfe_codeword_arr(
+                    combination, short_dom)
+                combination = _eval_xfe_poly_on_domain_arr(
+                    comb_coeffs, ldt_dom)
+        else:
+            # one fused dispatch: weighted column sum + zeta-chain segment
+            # combination + 4 DEEP codewords + LDE onto the FRI domain.
+            # The four out-of-domain values are the weighted sums of the
+            # already-revealed OOD rows / segment evaluations (identical
+            # field elements to evaluating the weighted polynomials).
+            v_curr = _linear_sum(ood_main_curr, ood_aux_curr, weights)
+            v_next = _linear_sum(ood_main_next, ood_aux_next, weights)
+            w_qs = weights["quot_segments"]
+            v_p = xfe.ZERO
+            for x, w in zip(ood_quot_p, w_qs[:-1]):
+                v_p = xfe.add(v_p, xfe.mul(x, w))
+            v_r = xfe.ZERO
+            for x, w in zip(ood_quot_r, w_qs[1:]):
+                v_r = xfe.add(v_r, xfe.mul(x, w))
+            S = short_dom.length
+            combination = kernels.deep_combination_fn(
+                S, L, short_dom.generator, short_dom.offset,
+                ldt_dom.offset, E // S, L // S)(
+                    main_lde_dev, aux_lde_dev, tuple(cws_dev),
+                    _gfx_rows_dev(weights["main"]),
+                    _gfx_rows_dev(weights["aux"]),
+                    _gfx_rows_dev(w_qs), _gfx_rows_dev(weights["deep"]),
+                    _gfx_rows_dev([alpha, omega_alpha, alpha_pow_k,
+                                   zeta_alpha_pow_k]),
+                    _gfx_rows_dev([v_curr, v_next, v_p, v_r]))
 
         _trace("FRI", "FRI")
         revealed_indices = fri.prove(combination, proof_stream)
@@ -803,6 +853,17 @@ def _batch_inverse_xfe(values):
         out[i] = xfe.mul(prefix[i], inv_all)
         inv_all = xfe.mul(inv_all, values[i])
     return out
+
+
+def _gfx_to_rows(v):
+    """gfx (m,) -> list of m XFE int tuples."""
+    arr = np.stack([gf.to_u64(v[c]) for c in range(3)], axis=1)
+    return [tuple(int(c) for c in row) for row in arr]
+
+
+def _gfx_rows_dev(rows):
+    """List of XFE tuples -> gfx (m,)."""
+    return gfx.from_u64(np.array(rows, np.uint64))
 
 
 # ------------------------------------------- device-assisted linear algebra
