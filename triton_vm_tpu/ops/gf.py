@@ -41,25 +41,39 @@ def _c(x):
     return jnp.asarray(x, U32)
 
 
+def _mask_val(mask, value):
+    """where(mask, value, 0) for a bool mask and a u32 constant/array.
+
+    Written as a select rather than `mask.astype(U32) * value`: XLA's
+    algebraic simplifier canonicalizes mask-multiplies into selects ONE
+    REWRITE PER FIXED-POINT ITERATION, re-running the whole
+    simplification pipeline (and recloning while bodies) each time —
+    measured 50+ iterations / multi-minute compiles on the prover's
+    fused kernels. Emitting the normal form directly converges in a few
+    passes."""
+    value = jnp.broadcast_to(_c(value), mask.shape)
+    return jnp.where(mask, value, jnp.zeros_like(value))
+
+
 def _add64(alo, ahi, blo, bhi):
-    """(a + b) mod 2^64 with carry-out (0/1 uint32)."""
+    """(a + b) mod 2^64 with carry-out (bool)."""
     lo = alo + blo
-    c0 = (lo < alo).astype(U32)
+    c0 = lo < alo
     hi1 = ahi + bhi
-    c1 = (hi1 < ahi).astype(U32)
-    hi = hi1 + c0
-    c2 = (hi < c0).astype(U32)
+    c1 = hi1 < ahi
+    hi = hi1 + _mask_val(c0, 1)
+    c2 = (hi == 0) & c0
     return lo, hi, c1 | c2
 
 
 def _sub64(alo, ahi, blo, bhi):
-    """(a - b) mod 2^64 with borrow-out (0/1 uint32)."""
+    """(a - b) mod 2^64 with borrow-out (bool)."""
     lo = alo - blo
-    b0 = (alo < blo).astype(U32)
+    b0 = alo < blo
     hi1 = ahi - bhi
-    b1 = (ahi < bhi).astype(U32)
-    hi = hi1 - b0
-    b2 = (hi1 < b0).astype(U32)
+    b1 = ahi < bhi
+    hi = hi1 - _mask_val(b0, 1)
+    b2 = (hi1 == 0) & b0
     return lo, hi, b1 | b2
 
 
@@ -75,9 +89,9 @@ def _mul32(a, b):
     hh = a1 * b1
     t = (ll >> 16) + lh          # <= 2^32 - 2^17 + 2^16, no overflow
     t2 = t + hl
-    carry = (t2 < t).astype(U32)
+    carry = t2 < t
     lo = (t2 << 16) | (ll & 0xFFFF)
-    hi = hh + (t2 >> 16) + (carry << 16)
+    hi = hh + (t2 >> 16) + _mask_val(carry, 1 << 16)
     return lo, hi
 
 
@@ -89,15 +103,15 @@ def _mul64(alo, ahi, blo, bhi):
     l11, h11 = _mul32(ahi, bhi)
     x0 = l00
     s1 = h00 + l01
-    c1a = (s1 < h00).astype(U32)
+    c1a = _mask_val(s1 < h00, 1)
     x1 = s1 + l10
-    c1b = (x1 < s1).astype(U32)
+    c1b = _mask_val(x1 < s1, 1)
     s2 = h01 + h10
-    c2a = (s2 < h01).astype(U32)
+    c2a = _mask_val(s2 < h01, 1)
     s2b = s2 + l11
-    c2b = (s2b < s2).astype(U32)
+    c2b = _mask_val(s2b < s2, 1)
     x2 = s2b + (c1a + c1b)
-    c2c = (x2 < s2b).astype(U32)
+    c2c = _mask_val(x2 < s2b, 1)
     x3 = h11 + (c2a + c2b + c2c)
     return x0, x1, x2, x3
 
@@ -108,20 +122,20 @@ def _reduce128(x0, x1, x2, x3):
     n = x3*2^96 + x2*2^64 + (x1, x0)
       = (x1, x0) + x2*(2^32 - 1) - x3   (mod p).
     """
-    lo, hi, borrow = _sub64(x0, x1, x3, jnp.zeros_like(x3))
-    lo, hi, _ = _sub64(lo, hi, _c(EPS) * borrow, jnp.zeros_like(borrow))
+    zero = jnp.zeros_like(x3)
+    lo, hi, borrow = _sub64(x0, x1, x3, zero)
+    lo, hi, _ = _sub64(lo, hi, _mask_val(borrow, EPS), zero)
     t1_lo = jnp.zeros_like(x2) - x2
-    t1_hi = x2 - (x2 != 0).astype(U32)
+    t1_hi = x2 - _mask_val(x2 != 0, 1)
     lo, hi, carry = _add64(lo, hi, t1_lo, t1_hi)
-    lo, hi, _ = _add64(lo, hi, _c(EPS) * carry, jnp.zeros_like(carry))
+    lo, hi, _ = _add64(lo, hi, _mask_val(carry, EPS), zero)
     return _canon(lo, hi)
 
 
 def _canon(lo, hi):
     """One conditional subtraction of p; input < 2^64, output < p."""
     geq = (hi == _c(P_HI)) & (lo >= _c(P_LO))
-    m = geq.astype(U32)
-    slo, shi, _ = _sub64(lo, hi, m * _c(P_LO), m * _c(P_HI))
+    slo, shi, _ = _sub64(lo, hi, _mask_val(geq, P_LO), _mask_val(geq, P_HI))
     return (slo, shi)
 
 
@@ -194,13 +208,13 @@ def to_u64(v) -> np.ndarray:
 def add(a, b):
     lo, hi, carry = _add64(a[0], a[1], b[0], b[1])
     # carry => result is exactly a+b-p after adding EPS (see docstring)
-    lo, hi, _ = _add64(lo, hi, _c(EPS) * carry, jnp.zeros_like(carry))
+    lo, hi, _ = _add64(lo, hi, _mask_val(carry, EPS), jnp.zeros_like(lo))
     return _canon(lo, hi)
 
 
 def sub(a, b):
     lo, hi, borrow = _sub64(a[0], a[1], b[0], b[1])
-    lo, hi, _ = _sub64(lo, hi, _c(EPS) * borrow, jnp.zeros_like(borrow))
+    lo, hi, _ = _sub64(lo, hi, _mask_val(borrow, EPS), jnp.zeros_like(lo))
     return (lo, hi)
 
 
@@ -273,6 +287,43 @@ def is_zero(a):
 def select(mask, a, b):
     """Elementwise select: mask ? a : b (mask has batch shape)."""
     return (jnp.where(mask, a[0], b[0]), jnp.where(mask, a[1], b[1]))
+
+
+def reduce_sum(v, axis: int):
+    """Sum a gf pair over one axis (exact mod-p; order-independent).
+
+    On CPU this lowers to ONE lax.reduce with a custom mod-p combiner:
+    the halving-tree formulation (slice+add chains) sends XLA:CPU's
+    algebraic simplifier into an effectively unbounded simplification
+    loop when the summed expression contains a while op (e.g. `inv`) —
+    measured as a >300 s compile hang in the prover's OOD stage. On TPU
+    the halving tree vectorizes better and compiles fine, so keep it.
+    Both orders give bit-identical results: addition mod p is
+    associative and commutative on canonical values."""
+    import jax
+
+    if jax.default_backend() == "cpu":
+        z = jnp.zeros((), U32)
+        return jax.lax.reduce(tuple(v), (z, z),
+                              lambda a, b: add(a, b), (axis,))
+    n = shape(v)[axis]
+    np2 = 1 << max(n - 1, 0).bit_length()
+    if np2 != n:
+        pad = [(0, 0)] * len(shape(v))
+        pad[axis] = (0, np2 - n)
+        v = tmap(lambda a: jnp.pad(a, pad), v)
+    ix = [slice(None)] * len(shape(v))
+    while np2 > 1:
+        half = np2 // 2
+        lo_ix, hi_ix = list(ix), list(ix)
+        lo_ix[axis] = slice(None, half)
+        hi_ix[axis] = slice(half, None)
+        v = add(tmap(lambda a: a[tuple(lo_ix)], v),
+                tmap(lambda a: a[tuple(hi_ix)], v))
+        np2 = half
+    sq = list(ix)
+    sq[axis] = 0
+    return tmap(lambda a: a[tuple(sq)], v)
 
 
 def batch_inverse(v, axis: int):

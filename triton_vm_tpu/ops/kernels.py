@@ -54,18 +54,8 @@ def deep_codeword(cw, xs, point, value):
 
 
 def _sum0(v):
-    """Tree-sum a gf pair over axis 0."""
-    K = gf.shape(v)[0]
-    Kp = 1 << max(K - 1, 0).bit_length()
-    if Kp != K:
-        pad = ((0, Kp - K),) + ((0, 0),) * (len(gf.shape(v)) - 1)
-        v = gf.tmap(lambda a: jnp.pad(a, pad), v)
-    while Kp > 1:
-        half = Kp // 2
-        v = gf.add(gf.tmap(lambda a: a[:half], v),
-                   gf.tmap(lambda a: a[half:], v))
-        Kp = half
-    return gf.tmap(lambda a: a[0], v)
+    """Sum a gf pair over axis 0 (exact mod-p; see gf.reduce_sum)."""
+    return gf.reduce_sum(v, 0)
 
 
 def gf_sum0(v):
@@ -106,18 +96,8 @@ def _gf_dot_rows(cols, w_row):
 
 
 def _sum_axis1(v):
-    """Tree-sum a gf pair over axis 1."""
-    K = gf.shape(v)[1]
-    Kp = 1 << max(K - 1, 0).bit_length()
-    if Kp != K:
-        pad = ((0, 0), (0, Kp - K)) + ((0, 0),) * (len(gf.shape(v)) - 2)
-        v = gf.tmap(lambda a: jnp.pad(a, pad), v)
-    while Kp > 1:
-        half = Kp // 2
-        v = gf.add(gf.tmap(lambda a: a[:, :half], v),
-                   gf.tmap(lambda a: a[:, half:], v))
-        Kp = half
-    return gf.tmap(lambda a: a[:, 0], v)
+    """Sum a gf pair over axis 1 (exact mod-p; see gf.reduce_sum)."""
+    return gf.reduce_sum(v, 1)
 
 
 @jax.jit
@@ -151,26 +131,64 @@ def _domain_powers(generator: int, offset: int, n: int):
     return gf.mul_const(v, offset) if offset != 1 else v
 
 
-def _bary_eval_at(cols_gf, cols_gfx, xs, point):
-    """Barycentric evaluation of every column's interpolant at an
-    out-of-domain XFE `point` (master_table.rs:348-390 semantics via the
+def _bary_eval_multi(cols_gf, cols_gfx, xs, points):
+    """Barycentric evaluation of every column's interpolant at a BATCH of
+    out-of-domain XFE points (master_table.rs:348-390 semantics via the
     committed codewords: the randomized interpolant IS the codeword's
     interpolant, so the barycentric formula over the full evaluation
     domain yields the identical field element).
 
-    cols_gf: gf (m, n) or None; cols_gfx: gfx (k, n) or None; xs gf (n,);
-    point gfx (). Returns (gfx (m,), gfx (k,))."""
-    dods, denom = ood_shift_inverses(xs, point)
-    dinv = gfx.inv(denom)
+    All k points share ONE elementwise field inversion over (k, n): one
+    inversion subgraph per module instead of one per point. XLA:CPU's
+    simplification pipeline goes super-linear in the number of
+    inv-subgraphs chained into one computation (measured: 4 chained
+    deep-codeword inversions compile >400 s; the batched equivalent
+    compiles in ~12 s with bit-identical outputs).
+
+    cols_gf: gf (m, n) or None; cols_gfx: gfx (q, n) or None; xs gf (n,);
+    points gfx (k,). Returns (gfx (k, m), gfx (k, q))."""
+    import jax.numpy as jnp
+
+    n = gf.shape(xs)[0]
+    k = gf.shape(points[0])[0]
+
+    def col(v):  # (k,) -> (k, 1) broadcast to (k, n)
+        return gf.tmap(lambda a: jnp.broadcast_to(a[:, None], (k, n)), v)
+
+    xs_b = gf.tmap(lambda a: jnp.broadcast_to(a[None, :], (k, n)), xs)
+    p = gfx.tmap(col, points)
+    shifts = (gf.sub(p[0], xs_b), p[1], p[2])
+    inv = gfx.inv(shifts)                       # ONE (k, n) inversion
+    dods = gfx.bfe_mul(inv, xs_b)               # (k, n)
+    denom = tuple(gf.reduce_sum(dods[c], 1) for c in range(3))  # (k,)
+    dinv = gfx.inv(denom)                       # ONE (k,) inversion
     out_gf = out_gfx = None
     if cols_gf is not None:
-        num = tuple(_gf_dot_rows(cols_gf, dods[c]) for c in range(3))
-        out_gf = gfx.mul(num, dinv)
+        nums = [tuple(_gf_dot_rows(
+            cols_gf, gf.tmap(lambda a, i=i: a[i], dods[c])) for c in range(3))
+            for i in range(k)]
+        num = tuple(gf.stack([nm[c] for nm in nums], axis=0)
+                    for c in range(3))          # (k, m)
+        out_gf = gfx.mul(num, gfx.tmap(lambda a: a[:, None], dinv))
     if cols_gfx is not None:
-        prod = gfx.mul(cols_gfx, gfx.tmap(lambda a: a[None, :], dods))
-        num = tuple(_sum_axis1(prod[c]) for c in range(3))
-        out_gfx = gfx.mul(num, dinv)
+        nums = []
+        for i in range(k):
+            d_i = gfx.tmap(lambda a, i=i: a[i], dods)
+            prod = gfx.mul(cols_gfx, gfx.tmap(lambda a: a[None, :], d_i))
+            nums.append(tuple(_sum_axis1(prod[c]) for c in range(3)))
+        num = tuple(gf.stack([nm[c] for nm in nums], axis=0)
+                    for c in range(3))          # (k, q)
+        out_gfx = gfx.mul(num, gfx.tmap(lambda a: a[:, None], dinv))
     return out_gf, out_gfx
+
+
+def _bary_eval_at(cols_gf, cols_gfx, xs, point):
+    """Single-point wrapper over _bary_eval_multi (point: gfx ())."""
+    pts = gfx.tmap(lambda a: a[None], point)
+    out_gf, out_gfx = _bary_eval_multi(cols_gf, cols_gfx, xs, pts)
+    squeeze = lambda v: gfx.tmap(lambda a: a[0], v)  # noqa: E731
+    return (squeeze(out_gf) if out_gf is not None else None,
+            squeeze(out_gfx) if out_gfx is not None else None)
 
 
 @functools.lru_cache(maxsize=8)
@@ -191,11 +209,15 @@ def ood_stage_fn(E: int, L: int, e_gen: int, e_off: int, l_gen: int,
                      for c in range(3))
         xs_e = _domain_powers(e_gen, e_off, E)
         xs_l = _domain_powers(l_gen, l_off, L)
-        m1, a1 = _bary_eval_at(main_lde, aux_lde, xs_e, alpha)
-        m2, a2 = _bary_eval_at(main_lde, aux_lde, xs_e, omega_alpha)
-        _, s1 = _bary_eval_at(None, segs, xs_l, apk)
-        _, s2 = _bary_eval_at(None, segs, xs_l, zapk)
-        return m1, a1, m2, a2, s1, s2
+        # both point pairs batched: one inversion subgraph per domain
+        pts_e = tuple(gf.stack([alpha[c], omega_alpha[c]], axis=0)
+                      for c in range(3))
+        pts_l = tuple(gf.stack([apk[c], zapk[c]], axis=0) for c in range(3))
+        m12, a12 = _bary_eval_multi(main_lde, aux_lde, xs_e, pts_e)
+        _, s12 = _bary_eval_multi(None, segs, xs_l, pts_l)
+        row = lambda v, i: gfx.tmap(lambda a: a[i], v)  # noqa: E731
+        return (row(m12, 0), row(a12, 0), row(m12, 1), row(a12, 1),
+                row(s12, 0), row(s12, 1))
 
     return jax.jit(fn)
 
@@ -235,13 +257,20 @@ def deep_combination_fn(S: int, L: int, s_gen: int, s_off: int, l_off: int,
         cw_p = gfx.add(shared, gfx.tmap(lambda a: a[0], seg_w))
         cw_r = gfx.add(shared, gfx.tmap(lambda a: a[4], seg_w))
 
-        comb = gfx.zeros((S,))
-        for i, cw in enumerate((cw_ma, cw_ma, cw_p, cw_r)):
-            pt = gfx.tmap(lambda a: a[i], points)
-            v = gfx.tmap(lambda a: a[i], values)
-            dc = deep_codeword(cw, xs_s, pt, v)
-            comb = gfx.add(comb, gfx.mul(dc, gfx.tmap(lambda a: a[i],
-                                                      w_deep)))
+        # all 4 DEEP codewords share ONE (4, S) field inversion — one
+        # inv-subgraph per module instead of four chained ones, which
+        # sends XLA:CPU's simplification loop super-linear (>400 s).
+        cws4 = tuple(gf.stack([cw_ma[c], cw_ma[c], cw_p[c], cw_r[c]],
+                              axis=0) for c in range(3))      # (4, S)
+        num = gfx.sub(cws4, gfx.tmap(lambda a: a[:, None], values))
+        xs_b = gf.tmap(lambda a: jnp.broadcast_to(a[None, :], (4, S)), xs_s)
+        p = gfx.tmap(lambda a: jnp.broadcast_to(a[:, None], (4, S)),
+                     points)
+        den = (gf.sub(xs_b, p[0]), gf.neg(p[1]), gf.neg(p[2]))
+        dc = gfx.mul(num, gfx.inv(den))                        # (4, S)
+        w = gfx.tmap(lambda a: a[:, None], w_deep)
+        prod = gfx.mul(dc, w)
+        comb = tuple(gf.reduce_sum(prod[c], 0) for c in range(3))
         if S != L:
             c_br = tuple(ntt.coeffs_bitrev_from_values(comb[c], s_off)
                          for c in range(3))

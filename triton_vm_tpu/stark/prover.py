@@ -1016,19 +1016,8 @@ def _use_device_quotients() -> bool:
 
 
 def _gf_sum0(v):
-    """Sum a gf pair over axis 0 by halving (log-depth, mod-reduced)."""
-    import jax.numpy as jnp
-    K = gf.shape(v)[0]
-    Kp = 1 << max(K - 1, 0).bit_length()
-    if Kp != K:
-        pad = ((0, Kp - K),) + ((0, 0),) * (len(gf.shape(v)) - 1)
-        v = gf.tmap(lambda a: jnp.pad(a, pad), v)
-    while Kp > 1:
-        half = Kp // 2
-        v = gf.add(gf.tmap(lambda a: a[:half], v),
-                   gf.tmap(lambda a: a[half:], v))
-        Kp = half
-    return gf.tmap(lambda a: a[0], v)
+    """Sum a gf pair over axis 0 (exact mod-p; see gf.reduce_sum)."""
+    return gf.reduce_sum(v, 0)
 
 
 @functools.lru_cache(maxsize=8)
