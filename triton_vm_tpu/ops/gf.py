@@ -292,38 +292,79 @@ def select(mask, a, b):
 def reduce_sum(v, axis: int):
     """Sum a gf pair over one axis (exact mod-p; order-independent).
 
-    On CPU this lowers to ONE lax.reduce with a custom mod-p combiner:
-    the halving-tree formulation (slice+add chains) sends XLA:CPU's
-    algebraic simplifier into an effectively unbounded simplification
-    loop when the summed expression contains a while op (e.g. `inv`) —
-    measured as a >300 s compile hang in the prover's OOD stage. On TPU
-    the halving tree vectorizes better and compiles fine, so keep it.
-    Both orders give bit-identical results: addition mod p is
-    associative and commutative on canonical values."""
+    Digit-plane formulation, one code path for every backend: split each
+    32-bit limb into 16-bit digits, `jnp.sum` each digit plane over
+    chunks of <= 2^15 elements (digit < 2^16, so a chunk sum fits u32
+    exactly) with XLA's NATIVE add reduction, recombine the per-chunk
+    digit sums into field elements (3 mul_const + adds), and fold the
+    small chunk axis with a log-depth tree.
+
+    Why not the alternatives (both measured):
+    - lax.reduce with a custom mod-p combiner: XLA:CPU interprets the
+      combiner per element — the prover's DEEP stage took 212 s at
+      padded height 2^8 (vs ~0.1 s here);
+    - a full halving tree over the raw axis: sends XLA:CPU's algebraic
+      simplifier into a >300 s circular-rewrite loop when the summand
+      contains a while op (e.g. `inv`).
+    Native-add reductions have neither problem, and the remaining tree
+    is <= 32 adds for any height up to 2^20. Bit-identical to both:
+    addition mod p is associative/commutative on canonical values and
+    the digit sums are exact integers."""
     import jax
 
-    if jax.default_backend() == "cpu":
-        z = jnp.zeros((), U32)
-        return jax.lax.reduce(tuple(v), (z, z),
-                              lambda a, b: add(a, b), (axis,))
     n = shape(v)[axis]
-    np2 = 1 << max(n - 1, 0).bit_length()
-    if np2 != n:
+    if n == 0:
+        new_shape = list(shape(v))
+        del new_shape[axis]
+        return zeros(tuple(new_shape))
+    # Barrier between the summand's producer graph and the reduction:
+    # without it XLA fuses the producer into EACH of the four digit-plane
+    # reduces (re-computing it 4x) and, worse, feeds the simplifier
+    # reduce(reshape(while ...)) patterns it rewrites circularly —
+    # measured >13 min compiles for the OOD kernel. Identity op, no
+    # numeric effect.
+    v = jax.lax.optimization_barrier(tuple(v))
+    axis = axis % len(shape(v))
+    chunk = min(n, 1 << 15)
+    nchunks = -(-n // chunk)
+    if nchunks * chunk != n:
         pad = [(0, 0)] * len(shape(v))
-        pad[axis] = (0, np2 - n)
+        pad[axis] = (0, nchunks * chunk - n)
         v = tmap(lambda a: jnp.pad(a, pad), v)
-    ix = [slice(None)] * len(shape(v))
+
+    def digit_partials(limb):
+        s = limb.shape
+        r = limb.reshape(s[:axis] + (nchunks, chunk) + s[axis + 1:])
+        lo16 = jnp.sum(r & 0xFFFF, axis=axis + 1, dtype=U32)
+        hi16 = jnp.sum(r >> 16, axis=axis + 1, dtype=U32)
+        return lo16, hi16  # each < 2^31: exact
+
+    lo_lo, lo_hi = digit_partials(v[0])
+    hi_lo, hi_hi = digit_partials(v[1])
+    z = jnp.zeros_like(lo_lo)
+    # recombine: total = d0 + d1*2^16 + d2*2^32 + d3*2^48 (mod p); each
+    # digit sum is < 2^31 < p, so (sum, 0) is already a canonical element
+    acc = add((lo_lo, z), mul_const((lo_hi, z), 1 << 16))
+    acc = add(acc, mul_const((hi_lo, z), (1 << 32) % P))
+    acc = add(acc, mul_const((hi_hi, z), (1 << 48) % P))
+    # fold the (small) chunk axis with a log-depth tree of mod-p adds
+    np2 = 1 << max(nchunks - 1, 0).bit_length()
+    if np2 != nchunks:
+        pad = [(0, 0)] * len(shape(acc))
+        pad[axis] = (0, np2 - nchunks)
+        acc = tmap(lambda a: jnp.pad(a, pad), acc)
+    ix = [slice(None)] * len(shape(acc))
     while np2 > 1:
         half = np2 // 2
         lo_ix, hi_ix = list(ix), list(ix)
         lo_ix[axis] = slice(None, half)
         hi_ix[axis] = slice(half, None)
-        v = add(tmap(lambda a: a[tuple(lo_ix)], v),
-                tmap(lambda a: a[tuple(hi_ix)], v))
+        acc = add(tmap(lambda a: a[tuple(lo_ix)], acc),
+                  tmap(lambda a: a[tuple(hi_ix)], acc))
         np2 = half
     sq = list(ix)
     sq[axis] = 0
-    return tmap(lambda a: a[tuple(sq)], v)
+    return tmap(lambda a: a[tuple(sq)], acc)
 
 
 def batch_inverse(v, axis: int):

@@ -209,10 +209,19 @@ def sponge_absorb_rows(rows):
     ones_col = gf.broadcast_to(gf.ones((1, 1)), (b, 1))
     zeros_cols = gf.zeros((b, pad_len))
     padded = gf.concatenate([rows, ones_col, zeros_cols], axis=1)
+    # absorb via lax.scan so the permutation while-body exists ONCE in the
+    # lowered module; the previous unrolled loop cloned it total/RATE
+    # times, and XLA (CPU especially) re-optimizes every clone — measured
+    # multi-minute compiles for the fused commit graph at 379 columns.
+    chunks = gf.tmap(
+        lambda x: x.reshape(b, total // tip5.RATE, tip5.RATE)
+        .transpose(1, 2, 0), padded)  # (nchunks, RATE, b)
     state = gf.zeros((16, b))
-    for i in range(total // tip5.RATE):
-        chunk = gf.tmap(lambda x: x[:, i * 10:(i + 1) * 10].T, padded)
-        state = gf.concatenate([chunk, gf.tmap(lambda x: x[10:], state)],
-                               axis=0)
-        state = _permutation_impl(state)
+
+    def absorb(state, chunk):
+        state = gf.concatenate(
+            [chunk, gf.tmap(lambda x: x[tip5.RATE:], state)], axis=0)
+        return _permutation_impl(state), None
+
+    state, _ = jax.lax.scan(absorb, state, chunks)
     return gf.tmap(lambda x: x[:5], state)

@@ -273,6 +273,14 @@ class Prover:
         self.seed = seed
 
     def prove(self, claim: Claim, aet) -> Proof:
+        try:
+            return self._prove(claim, aet)
+        finally:
+            # Close any stage span left open by an exception so a failed
+            # prove cannot poison the global profiler session state.
+            _trace(None)
+
+    def _prove(self, claim: Claim, aet) -> Proof:
         stark = self.parameters
         proof_stream = ProofStream()
         proof_stream.alter_fiat_shamir_state_with(claim.encode())
@@ -567,6 +575,16 @@ class Prover:
                     _gfx_rows_dev([v_curr, v_next, v_p, v_r]))
 
         _trace("FRI", "FRI")
+        if mesh is not None and not use_jit:
+            # Un-shard the combination codeword before the LDT: FRI's fold
+            # kernels halve every round and are a rounding error next to
+            # the commit stage, but feeding them mesh-sharded inputs forces
+            # an SPMD recompile of every per-round executable (the XLA:CPU
+            # simplifier goes circular on those — the MULTICHIP_r02
+            # timeout). One small (L, 3) host round-trip instead.
+            combination = gfx.from_u64(
+                np.stack([gf.to_u64(combination[c]) for c in range(3)],
+                         axis=-1))
         revealed_indices = fri.prove(combination, proof_stream)
 
         # ZK guard (stark.rs:644-663)
@@ -676,11 +694,10 @@ class Verifier:
             "OutOfDomainQuotientSegments")
 
         # evaluate the AIR at the OOD point
-        air = master_air()
         ch = challenges.challenges
         values = []
         for phase in ("init", "cons", "tran", "term"):
-            steps, out_ids = linearize(air.constraints[phase])
+            steps, out_ids = _linearized_phase(phase)
             if phase == "tran":
                 res = eval_host(steps, out_ids, ood_main_curr, ood_aux_curr,
                                 ch, ood_main_next, ood_aux_next)
@@ -804,6 +821,14 @@ class Verifier:
 
 
 # ----------------------------------------------------------- helper zone
+
+@functools.lru_cache(maxsize=None)
+def _linearized_phase(phase):
+    """Per-phase linearized AIR op list, cached across verify calls (the
+    circuit DAG is immutable; re-linearizing ~600 constraints per verify
+    dominated small-proof verification)."""
+    return linearize(master_air().constraints[phase])
+
 
 def _powers_xfe(x, n):
     out = [xfe.ONE]

@@ -73,10 +73,20 @@ class _Profiler:
         self.active.append(self.order.index(path))
 
     def exit(self, name: str):
-        idx = self.active.pop()
-        task = self.tasks[self.order[idx]]
-        assert task.name == name, f"span disorder: {task.name} != {name}"
-        task.total_duration += time.perf_counter() - task.start_time
+        """Close the innermost open span named `name`.
+
+        Tolerant of disorder (a crash between low-level enter/exit
+        markers must not poison the NEXT profiling session): if `name`
+        is open somewhere on the stack, every span above it is closed
+        too; if it is not open at all, this is a no-op."""
+        names = [self.tasks[self.order[i]].name for i in self.active]
+        if name not in names:
+            return
+        target = len(names) - 1 - names[::-1].index(name)
+        while len(self.active) > target:
+            idx = self.active.pop()
+            task = self.tasks[self.order[idx]]
+            task.total_duration += time.perf_counter() - task.start_time
 
     def finish(self) -> "PerformanceProfile":
         total = time.perf_counter() - self.t0
