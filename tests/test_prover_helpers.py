@@ -172,3 +172,30 @@ def test_vectorized_helpers_match_scalar_reference():
     assert old_m == new_m
     assert old_a == new_a
 
+
+
+def test_chunked_quotients_match_unchunked(monkeypatch):
+    """Row-tiled quotient evaluation (HBM bound at Q >= 2^18) is
+    bit-identical to the single-dispatch path."""
+    from triton_vm_tpu.air.challenges import SAMPLE_COUNT, Challenges
+    from triton_vm_tpu.air.master import master_air
+    from triton_vm_tpu.stark.proof_stream import Claim
+
+    num_constraints = sum(
+        len(cs) for cs in master_air().constraints.values())
+    weights = pr._powers_xfe((3, 1, 4), num_constraints)
+    claim = Claim((0,) * 5, [], [])
+    challenges = Challenges(
+        [tuple(int(c) for c in row) for row in
+         rng.integers(0, P, size=(SAMPLE_COUNT, 3), dtype=np.uint64)],
+        claim)
+    trace_dom, quot_dom = Domain(64), Domain(256, 7)
+    main = rng.integers(0, P, (pr.NUM_MAIN, 256), dtype=np.uint64)
+    aux = np.stack([rng.integers(0, P, (pr.NUM_AUX, 256), dtype=np.uint64)
+                    for _ in range(3)])
+    want = pr._all_quotients_combined_device(
+        main, aux, trace_dom, quot_dom, challenges, weights)
+    monkeypatch.setattr(pr, "_QUOTIENT_CHUNK_ROWS", 64)
+    got = pr._all_quotients_combined_device(
+        main, aux, trace_dom, quot_dom, challenges, weights)
+    assert np.array_equal(want, got)

@@ -91,6 +91,68 @@ def compile_tape(steps, out_ids) -> Tape:
             is_base[nid] = is_base[lid] and is_base[rid]
             level[nid] = 1 + max(level[lid], level[rid])
 
+    # --- level packing ---------------------------------------------------
+    # The fori_loop runner (tape_scan_tables) pads every level to each
+    # signature's MAXIMUM width, so ASAP scheduling wastes up to 18.5x
+    # arithmetic on the transition tape (measured). Re-schedule with
+    # per-signature width caps ~= count/levels: ops wait for capacity,
+    # trading a few extra levels for near-uniform widths. Pure schedule
+    # change — identical values, bit-identical outputs.
+    def _sig_of(payload):
+        op, lid, rid = payload
+        lb, rb = is_base[lid], is_base[rid]
+        if lb and rb:
+            return "bb" + op
+        if not lb and not rb:
+            return "xx" + op
+        return "bx" + op
+
+    crit = max(level.values()) if level else 0
+    counts: dict[str, int] = {}
+    for nid, kind, payload in steps:
+        if kind == "binop":
+            s = _sig_of(payload)
+            counts[s] = counts.get(s, 0) + 1
+    budget = max(int(crit * 1.3), 1)
+    caps = {s: max(1, -(-c // budget)) for s, c in counts.items()}
+
+    deps_left = {}
+    consumers: dict[int, list] = {}
+    ready_at: dict[int, list] = {}  # level -> [(sig, nid)]
+    for nid, kind, payload in steps:
+        if kind != "binop":
+            continue
+        _, lid, rid = payload
+        nd = sum(1 for d in (lid, rid) if kinds[d] == "binop")
+        deps_left[nid] = nd
+        for d in (lid, rid):
+            if kinds[d] == "binop":
+                consumers.setdefault(d, []).append(nid)
+        if nd == 0:
+            ready_at.setdefault(1, []).append((_sig_of(payload), nid))
+
+    remaining = len(deps_left)
+    waiting: dict[str, list] = {}
+    lvl = 1
+    while remaining:
+        for sig, nid in ready_at.pop(lvl, []):
+            waiting.setdefault(sig, []).append(nid)
+        used = {}
+        for sig, queue in waiting.items():
+            take = min(caps[sig], len(queue))
+            for nid in queue[:take]:
+                level[nid] = lvl
+                remaining -= 1
+                for c in consumers.get(nid, []):
+                    deps_left[c] -= 1
+                    if deps_left[c] == 0:
+                        ready_at.setdefault(lvl + 1, []).append(
+                            (_sig_of(payloads[c]), c))
+            used[sig] = take
+        for sig, take in used.items():
+            waiting[sig] = waiting[sig][take:]
+        lvl += 1
+
     out_set = set(out_ids)
     # --- liveness: last level at which each node is read ----------------
     last_use = {nid: (1 << 60) if nid in out_set else -1 for nid in kinds}

@@ -22,6 +22,12 @@ ROOT_INDEX = 1
 
 
 class MerkleTree:
+    """The tree lives ON DEVICE as a heap-ordered gf pair (5, 2n-1);
+    node reads are batched gathers. This matters on the tunneled TPU
+    backend: reading the whole layer stack back to host cost ~8 s per
+    tree at 2^18 leaves (~94 MB at the tunnel's ~12 MB/s), while a
+    proof only ever opens root + a few thousand authentication nodes."""
+
     def __init__(self, leaf_digests):
         """leaf_digests: numpy (n, 5) u64, or gf array (2, 5, n)."""
         if isinstance(leaf_digests, np.ndarray):
@@ -30,39 +36,44 @@ class MerkleTree:
             leaves = leaf_digests
         n = gf.shape(leaves)[-1]
         assert n >= 1 and (n & (n - 1)) == 0, "leaf count must be a power of 2"
-        # one dispatch for the whole tree, one readback for all layers
-        stack = gf.to_u64(tip5_kernel.merkle_flat_jit(leaves))
-        flat = tip5_kernel.assemble_flat(gf.to_u64(leaves), stack)
-        self._init_from_flat(flat, n)
+        stack = tip5_kernel.merkle_flat_jit(leaves)
+        self._flat = tip5_kernel.assemble_flat_device(leaves, stack)
+        self.num_leafs = n
+        self._root = None
 
     @classmethod
-    def from_flat(cls, flat: np.ndarray, num_leafs: int) -> "MerkleTree":
-        """Adopt a precomputed heap-ordered layer array (5, 2n-1) u64
-        (tip5_kernel.merkle_flat / commit_rows output)."""
+    def from_flat(cls, flat, num_leafs: int) -> "MerkleTree":
+        """Adopt a precomputed heap-ordered layer array (5, 2n-1):
+        numpy u64 or device gf pair (tip5_kernel commit output)."""
         self = cls.__new__(cls)
-        self._init_from_flat(np.asarray(flat, np.uint64), num_leafs)
+        if isinstance(flat, np.ndarray):
+            self._flat = gf.from_u64(np.asarray(flat, np.uint64))
+        else:
+            self._flat = flat
+        self.num_leafs = num_leafs
+        self._root = None
         return self
 
-    def _init_from_flat(self, flat, n):
-        self.num_leafs = n
-        # layer k occupies heap nodes [2^k, 2^(k+1)); root layer is k=0
-        self._layers = [flat[:, (1 << k) - 1:(2 << k) - 1].T
-                        for k in range((2 * n - 1).bit_length())]
+    def _nodes(self, indices) -> list[tuple]:
+        """Digests at 1-based heap node indices: ONE gather + readback."""
+        idx = np.asarray(list(indices), np.int64) - 1
+        sel = gf.to_u64(gf.take(self._flat, idx, axis=1))  # (5, k)
+        return [tuple(int(x) for x in sel[:, j]) for j in range(len(idx))]
 
     def node(self, index: int) -> tuple:
-        """Digest at 1-based heap node index."""
-        level = index.bit_length() - 1
-        return tuple(int(x) for x in self._layers[level][index - (1 << level)])
+        return self._nodes([index])[0]
 
     def root(self) -> tuple:
-        return self.node(ROOT_INDEX)
+        if self._root is None:
+            self._root = self.node(ROOT_INDEX)
+        return self._root
 
     def leaf(self, i: int) -> tuple:
         return self.node(self.num_leafs + i)
 
     def authentication_structure(self, leaf_indices) -> list[tuple]:
         idxs = auth_structure_node_indices(self.num_leafs, leaf_indices)
-        return [self.node(i) for i in idxs]
+        return self._nodes(idxs)
 
 
 def auth_structure_node_indices(num_leafs: int, leaf_indices) -> list[int]:

@@ -305,13 +305,25 @@ def _fold_fn(n):
     return jax.jit(fn)
 
 
+@functools.lru_cache(maxsize=64)
+def _half_domain_inverses(length, offset):
+    """Device gf (n/2,) of 1/x_i — via ONE jitted dispatch and cached:
+    the previous eager gf.inv was ~100 sequential dispatches per FRI
+    round, each paying the tunneled backend's RPC latency."""
+    import jax
+
+    from ..ops import gf
+
+    xs = _domain_values_u64(length, offset)[: length // 2]
+    return jax.jit(gf.inv)(gf.from_u64(xs))
+
+
 def _fold_device(domain: Domain, cw_dev, challenge):
     """Device split-and-fold (fri.rs:349-366). cw_dev: gfx (n,)."""
-    from ..ops import gf, gfx
+    from ..ops import gfx
 
     n = domain.length
-    xs = _domain_values_u64(domain.length, domain.offset)[: n // 2]
-    xs_inv = gf.inv(gf.from_u64(xs))
+    xs_inv = _half_domain_inverses(domain.length, domain.offset)
     beta = gfx.full((), tuple(challenge))
     return _fold_fn(n)(cw_dev, xs_inv, beta)
 

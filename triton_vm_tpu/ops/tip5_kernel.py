@@ -103,6 +103,12 @@ def _round(r, state):
 
 
 def _permutation_impl(state):
+    if jax.default_backend() != "cpu":
+        # Pallas kernel: all 5 rounds in VMEM (11x the XLA graph, which
+        # materializes every MDS tap in HBM). Bit-identical (tested).
+        from . import tip5_pallas
+
+        return tip5_pallas.permutation(state)
     return jax.lax.fori_loop(0, tip5.NUM_ROUNDS, _round, state)
 
 
@@ -173,6 +179,22 @@ def merkle_flat(leaves):
 merkle_flat_jit = jax.jit(merkle_flat)
 
 
+def assemble_flat_device(leaves, stack):
+    """Device assembly of the heap-ordered (5, 2n-1) gf pair from leaf
+    digests gf (5, n) and the merkle_flat layer stack gf (logn, 5, n/2).
+    Stays on device — the host round-trip of the full stack costs ~8 s
+    per tree at 2^18 leaves over the tunneled backend."""
+    n = gf.shape(leaves)[-1]
+    logn = gf.shape(stack)[0]
+    parts = []
+    size = 1
+    for k in range(logn - 1, -1, -1):
+        parts.append(gf.tmap(lambda x, k=k, s=size: x[k][:, :s], stack))
+        size *= 2
+    parts.append(leaves)
+    return gf.concatenate(parts, axis=1)
+
+
 def assemble_flat(leaves_u64: "np.ndarray", stack_u64: "np.ndarray"):
     """Host assembly of the heap-ordered (5, 2n-1) layer array from the
     leaf digests (5, n) and the merkle_flat layer stack."""
@@ -209,10 +231,18 @@ def sponge_absorb_rows(rows):
     ones_col = gf.broadcast_to(gf.ones((1, 1)), (b, 1))
     zeros_cols = gf.zeros((b, pad_len))
     padded = gf.concatenate([rows, ones_col, zeros_cols], axis=1)
-    # absorb via lax.scan so the permutation while-body exists ONCE in the
-    # lowered module; the previous unrolled loop cloned it total/RATE
-    # times, and XLA (CPU especially) re-optimizes every clone — measured
-    # multi-minute compiles for the fused commit graph at 379 columns.
+    if jax.default_backend() != "cpu":
+        # Pallas sponge: the whole absorb loop runs in VMEM — one HBM
+        # read of the rows, one write of the digests (10x over the XLA
+        # scan, which round-trips the state through HBM per permutation)
+        from . import tip5_pallas
+
+        return tip5_pallas.sponge_absorb_rows_t(
+            gf.tmap(lambda x: x.T, padded))
+    # XLA fallback (CPU): absorb via lax.scan so the permutation
+    # while-body exists ONCE in the lowered module; an unrolled loop
+    # clones it total/RATE times and XLA:CPU re-optimizes every clone —
+    # measured multi-minute compiles at 379 columns.
     chunks = gf.tmap(
         lambda x: x.reshape(b, total // tip5.RATE, tip5.RATE)
         .transpose(1, 2, 0), padded)  # (nchunks, RATE, b)

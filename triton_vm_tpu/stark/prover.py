@@ -352,8 +352,7 @@ class Prover:
 
             _trace("main merkle", "hash")
             main_tree = merkle.MerkleTree.from_flat(
-                tip5_kernel.assemble_flat(gf.to_u64(main_flat[0]),
-                                          gf.to_u64(main_flat[1])), L)
+                tip5_kernel.assemble_flat_device(*main_flat), L)
         proof_stream.enqueue(ProofItem("MerkleRoot", main_tree.root()))
         challenges = Challenges(proof_stream.sample_scalars(SAMPLE_COUNT),
                                 claim)
@@ -392,8 +391,7 @@ class Prover:
 
             _trace("aux merkle", "hash")
             aux_tree = merkle.MerkleTree.from_flat(
-                tip5_kernel.assemble_flat(gf.to_u64(aux_flat[0]),
-                                          gf.to_u64(aux_flat[1])), L)
+                tip5_kernel.assemble_flat_device(*aux_flat), L)
         proof_stream.enqueue(ProofItem("MerkleRoot", aux_tree.root()))
 
         initial_quot_weight = proof_stream.sample_scalars(1)[0]
@@ -447,8 +445,7 @@ class Prover:
 
         _trace("quot merkle", "hash")
         quot_tree = merkle.MerkleTree.from_flat(
-            tip5_kernel.assemble_flat(gf.to_u64(quot_flat[0]),
-                                      gf.to_u64(quot_flat[1])), L)
+            tip5_kernel.assemble_flat_device(*quot_flat), L)
         proof_stream.enqueue(ProofItem("MerkleRoot", quot_tree.root()))
 
         # ------------------------------------------------------- OOD rows
@@ -1046,6 +1043,52 @@ def _gf_sum0(v):
 
 
 @functools.lru_cache(maxsize=8)
+def _quotient_chunk_fn(h, gen_inv):
+    """Jitted all-phase quotient combiner over a ROW CHUNK of the
+    quotient domain. Same math as _quotient_fn but next-row values are
+    passed in (gathered by the caller), so the evaluation is pointwise
+    and tiles freely: the tape scan's value banks are O(num_slots x
+    chunk) HBM — the untiled version needed 44.8 GB at Q = 2^19 on a
+    15.75 GB chip (BENCH spin_65536 OOM)."""
+    import jax
+
+    from ..air import compile as aircomp
+
+    tapes = {ph: aircomp.phase_tape(ph)
+             for ph in ("init", "cons", "tran", "term")}
+
+    def fn(main, aux, next_main, next_aux, ch, ws, xs):
+        one = gf.full((), 1)
+        gi = gf.full((), gen_inv)
+        init_zi = gf.inv(gf.sub(xs, one))
+        xh = gf.pow_const(xs, h)
+        cons_zi = gf.inv(gf.sub(xh, one))
+        tran_zi = gf.mul(gf.sub(xs, gi), cons_zi)
+        term_zi = gf.inv(gf.sub(xs, gi))
+        zis = {"init": init_zi, "cons": cons_zi, "tran": tran_zi,
+               "term": term_zi}
+        acc = gfx.zeros(gf.shape(xs))
+        for i, ph in enumerate(("init", "cons", "tran", "term")):
+            if ph == "tran":
+                outs = aircomp.run_tape_scan(tapes[ph], main, aux, ch,
+                                             next_main, next_aux)
+            else:
+                outs = aircomp.run_tape_scan(tapes[ph], main, aux, ch)
+            wk = gfx.tmap(lambda a: a[:, None], ws[i])
+            prod = gfx.mul(outs, wk)
+            inner = tuple(_gf_sum0(c) for c in prod)
+            acc = gfx.add(acc, gfx.bfe_mul(inner, zis[ph]))
+        return acc
+
+    return jax.jit(fn)
+
+
+# Above this many quotient-domain rows, evaluate quotients in row chunks
+# (single-chip path). 2^16 rows keep the tape banks ~5-6 GB of HBM temps.
+_QUOTIENT_CHUNK_ROWS = 1 << 16
+
+
+@functools.lru_cache(maxsize=8)
 def _quotient_fn(Q, unit, h, gen_inv):
     """Jitted all-phase quotient combiner over the quotient domain
     (device counterpart of _all_quotients_combined; the constraint DAGs
@@ -1130,8 +1173,26 @@ def _all_quotients_combined_device(main_q, aux_q, trace_dom, quot_dom,
         ch = _sh.replicate(mesh, ch)
         xs = _sh.shard(mesh, xs, 0, 1)
 
-    fn = _quotient_fn(Q, unit, trace_dom.length, gen_inv)
-    acc = fn(main, aux, ch, tuple(ws), xs)
+    if mesh is None and Q > _QUOTIENT_CHUNK_ROWS:
+        # tile over rows: pointwise evaluation, next-row values gathered
+        # per chunk ((i + unit) mod Q stays a cheap strided gather)
+        C = _QUOTIENT_CHUNK_ROWS
+        fn = _quotient_chunk_fn(trace_dom.length, gen_inv)
+        parts = []
+        for s in range(0, Q, C):
+            idx = np.arange(s, s + C, dtype=np.int64)
+            nidx = (idx + unit) % Q
+            acc = fn(gf.take(main, idx, axis=1),
+                     gfx.tmap(lambda a: a[:, idx], aux),
+                     gf.take(main, nidx, axis=1),
+                     gfx.tmap(lambda a: a[:, nidx], aux),
+                     ch, tuple(ws), gf.take(xs, idx))
+            parts.append(acc)
+        acc = tuple(gf.concatenate([p[c] for p in parts], axis=0)
+                    for c in range(3))
+    else:
+        fn = _quotient_fn(Q, unit, trace_dom.length, gen_inv)
+        acc = fn(main, aux, ch, tuple(ws), xs)
     if return_device:
         return acc  # gfx (Q,)
     return np.stack([gf.to_u64(acc[c]) for c in range(3)], axis=1)  # (Q, 3)
