@@ -72,6 +72,22 @@ def _round(state, r):
 
 
 def permutation(state):
+    try:
+        from ..vm.native import tip5_permute_native
+
+        out = tip5_permute_native(state)
+        if out is not None:
+            return out
+    except ImportError:
+        pass
+    state = list(state)
+    for r in range(NUM_ROUNDS):
+        state = _round(state, r)
+    return state
+
+
+def permutation_python(state):
+    """Pure-Python permutation (differential oracle for the C path)."""
     state = list(state)
     for r in range(NUM_ROUNDS):
         state = _round(state, r)
@@ -120,6 +136,18 @@ class Tip5Sponge:
 
     def pad_and_absorb_all(self, elements):
         elements = list(elements)
+        if len(elements) >= 3 * RATE:
+            # C fast path (native/vm_core.cpp tvm_tip5_pad_absorb):
+            # the Fiat-Shamir transcript absorbs every proof item, ~25k
+            # permutations for a 2^16 proof — Python permutation cost
+            # dominated the prover's serialization tail. Bit-identical
+            # (same constants; pinned by tests/test_tip5.py).
+            from ..vm.native import tip5_pad_absorb_native
+
+            out = tip5_pad_absorb_native(self.state, elements)
+            if out is not None:
+                self.state = out
+                return
         elements.append(1)
         while len(elements) % RATE:
             elements.append(0)

@@ -942,6 +942,28 @@ struct Handle {
 
 extern "C" {
 
+// Host Fiat-Shamir sponge hot path: the transcript absorbs every proof
+// item (proof_stream.rs:40-103) -- ~25k permutations for a 2^16 proof,
+// which dominates the Python sponge. Same tip5_round as the witness
+// core (bit-identical to crypto/tip5.py, pinned by test_native_vm).
+void tvm_tip5_permute(u64* s) {
+    for (int r = 0; r < 5; ++r) tip5_round(s, r);
+}
+
+// Variable-length overwrite-mode absorb with 1||0* padding
+// (Tip5Sponge.pad_and_absorb_all semantics).
+void tvm_tip5_pad_absorb(u64* state, const u64* words, u64 n) {
+    u64 total = (n + 1 + 9) / 10 * 10;
+    for (u64 off = 0; off < total; off += 10) {
+        for (int j = 0; j < 10; ++j) {
+            u64 idx = off + j;
+            u64 v = idx < n ? words[idx] : (idx == n ? 1ull : 0ull);
+            state[j] = v >= P ? v - P : v;
+        }
+        for (int r = 0; r < 5; ++r) tip5_round(state, r);
+    }
+}
+
 void tvm_init_constants(const u64* round_constants /*80*/,
                         const u64* mds_first_column /*16*/,
                         const u16* lookup_table /*256*/,

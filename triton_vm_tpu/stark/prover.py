@@ -298,25 +298,38 @@ class Prover:
         eval_dom = ldt_dom if L >= Q else quot_dom
 
         # ------------------------------------------------------ main table
-        _trace("fill main", "witness")
-        main = mt.fill_main_table(aet, padded_height=h)
-        mt.fill_derived_main_columns(main)
+        import jax as _jax
 
-        main_rand_coeffs = _drbg_bfes_rows(self.seed, range(NUM_MAIN), ntr)
-        _trace("main LDE", "LDE")
         from ..parallel import sharding
+        from ..tables import extend_device
+        from .. import config as tvm_config
+        from . import jit_lde
 
         mesh = sharding.active_mesh()
-
         # Cache-or-JIT commitment decision (config.rs:24-94 analog): the
         # JIT path never materializes the (num_cols, L) codewords; it
         # commits and reveals coset-by-coset (master_table.rs:258-322,
         # stark.rs:805-1006). Mesh sharding implies the cached path.
-        from .. import config as tvm_config
-        from . import jit_lde
-
         use_jit = (mesh is None and tvm_config.cache_lde_trace(L)
                    is tvm_config.CacheDecision.JIT)
+        # Device-resident witness (accelerators, cache path): derived
+        # columns + aux extension + randomizer column all computed on
+        # device from ONE upload of the 149 AIR columns — the numpy flow
+        # round-trips the full tables through the ~10-80 MB/s tunnel.
+        # Same tapes/scans as the host flow: bit-identical.
+        device_witness = (_jax.default_backend() != "cpu" and not use_jit
+                          and _os.environ.get("TVM_DEVICE_WITNESS") != "0")
+
+        _trace("fill main", "witness")
+        main = mt.fill_main_table(aet, padded_height=h)
+        main_dev = None
+        if device_witness:
+            main_dev = extend_device.main_witness_dev(main)
+        else:
+            mt.fill_derived_main_columns(main)
+
+        main_rand_coeffs = _drbg_bfes_rows(self.seed, range(NUM_MAIN), ntr)
+        _trace("main LDE", "LDE")
         zvals_dev = gf.from_u64(_trace_zerofier_values(trace_dom, eval_dom))
         if mesh is not None:
             zvals_dev = sharding.replicate(mesh, zvals_dev)
@@ -331,6 +344,16 @@ class Prover:
             v = gf.from_u64(pad_cols(np.ascontiguousarray(arr), ncp))
             return sharding.shard(mesh, v, 0, arr.ndim) if mesh else v
 
+        def col_sharded_dev(v, ncp):
+            # device gf pair (nc, h): pad the column axis, then shard
+            nc = v[0].shape[0]
+            if ncp != nc:
+                import jax.numpy as jnp
+
+                v = gf.tmap(
+                    lambda a: jnp.pad(a, ((0, ncp - nc), (0, 0))), v)
+            return sharding.shard(mesh, v, 0, 2) if mesh else v
+
         main_lde_dev = main_coeffs_dev = None
         main_rand_dev = gf.from_u64(np.asarray(main_rand_coeffs, np.uint64))
         if use_jit:
@@ -343,9 +366,12 @@ class Prover:
         else:
             ncp_main = (-(-NUM_MAIN // mesh.size) * mesh.size if mesh
                         else NUM_MAIN)
+            main_cols_in = (col_sharded_dev(main_dev, ncp_main)
+                            if device_witness else
+                            col_sharded(main.T.astype(np.uint64), ncp_main))
             main_lde_dev, main_flat = _commit_bfe_fn(
                 h, E, L, eval_dom.offset, ntr, NUM_MAIN, ncp_main)(
-                    col_sharded(main.T.astype(np.uint64), ncp_main),
+                    main_cols_in,
                     col_sharded(np.asarray(main_rand_coeffs, np.uint64),
                                 ncp_main),
                     zvals_dev)
@@ -359,10 +385,17 @@ class Prover:
 
         # ------------------------------------------------------- aux table
         _trace("extend aux", "witness")
-        aux = mt.extend(main, challenges)
-        mt.fill_derived_aux_columns(main, aux, challenges.challenges)
-        aux[:, NUM_AUX - 1, :] = _drbg_xfes_rows(
-            self.seed, [NUM_MAIN + NUM_AUX], h)[0]
+        aux = aux_dev = None
+        if device_witness:
+            batch_rand = np.asarray(_drbg_xfes_rows(
+                self.seed, [NUM_MAIN + NUM_AUX], h)[0], np.uint64)
+            aux_dev = extend_device.aux_witness_dev(
+                main_dev, challenges, batch_rand)
+        else:
+            aux = mt.extend(main, challenges)
+            mt.fill_derived_aux_columns(main, aux, challenges.challenges)
+            aux[:, NUM_AUX - 1, :] = _drbg_xfes_rows(
+                self.seed, [NUM_MAIN + NUM_AUX], h)[0]
 
         aux_rand_coeffs = _drbg_xfes_rows(
             self.seed, range(NUM_MAIN, NUM_MAIN + NUM_AUX), ntr)
@@ -381,10 +414,14 @@ class Prover:
         else:
             ncp_aux = (-(-NUM_AUX // mesh.size) * mesh.size if mesh
                        else NUM_AUX)
+            aux_cols_in = (tuple(col_sharded_dev(aux_dev[c], ncp_aux)
+                                 for c in range(3))
+                           if device_witness else
+                           tuple(col_sharded(aux[:, :, c].T, ncp_aux)
+                                 for c in range(3)))
             aux_lde_dev, aux_flat = _commit_xfe_fn(
                 h, E, L, eval_dom.offset, ntr, NUM_AUX, ncp_aux)(
-                    tuple(col_sharded(aux[:, :, c].T, ncp_aux)
-                          for c in range(3)),
+                    aux_cols_in,
                     tuple(col_sharded(rc[:, :, c], ncp_aux)
                           for c in range(3)),
                     zvals_dev)
@@ -583,6 +620,7 @@ class Prover:
                 np.stack([gf.to_u64(combination[c]) for c in range(3)],
                          axis=-1))
         revealed_indices = fri.prove(combination, proof_stream)
+        _trace("reveal", "FRI")
 
         # ZK guard (stark.rs:644-663)
         if alpha_pow_k[1] == 0 and alpha_pow_k[2] == 0:
@@ -639,8 +677,10 @@ class Prover:
             "AuthenticationStructure",
             quot_tree.authentication_structure(revealed_indices)))
 
+        _trace("serialize", "FS")
+        proof = proof_stream.to_proof()
         _trace(None)
-        return proof_stream.to_proof()
+        return proof
 
 
 # ----------------------------------------------------------- verification

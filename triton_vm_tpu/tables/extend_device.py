@@ -1148,9 +1148,7 @@ def _device_inputs(main, challenges):
     return tuple(jax.device_put(x) for x in (mlo, mhi, clo, chi))
 
 
-def _run_pipeline(main, challenges):
-    """Returns the packed (49, 3, 2, h) device array."""
-    inputs = _device_inputs(main, challenges)
+def _run_pipeline_inputs(inputs):
     facs = []
     ld_ids, aff_ids = [], []
     for table in columns.TABLE_IDS:
@@ -1161,6 +1159,11 @@ def _run_pipeline(main, challenges):
             aff_ids += list(ids["aff"])
     scans = _phase_b1()(facs)
     return _phase_b2(tuple(ld_ids), tuple(aff_ids))(*inputs, scans)
+
+
+def _run_pipeline(main, challenges):
+    """Returns the packed (49, 3, 2, h) device array."""
+    return _run_pipeline_inputs(_device_inputs(main, challenges))
 
 
 def extend_all_device(main, challenges):
@@ -1352,3 +1355,102 @@ def fill_derived_aux_device(main: np.ndarray, aux: np.ndarray,
         vals = gf.to_u64(out[c])
         for i, (_, col) in enumerate(cols):
             aux[:, col, c] = vals[i]
+
+
+# =============================================== device-resident witness
+# End-to-end device flow for the prover's cache path on accelerator
+# backends: upload the 149 AIR main columns ONCE, compute the 230 derived
+# main columns, the 49 aux scan columns, the 41 derived aux columns, and
+# the batch-randomizer column all on device, and hand the commit stage
+# device-resident (379, h) / (91, h) column arrays. The previous numpy
+# interfaces round-tripped the full tables through the host several
+# times; on the tunneled TPU transport (~10-80 MB/s) those transfers
+# dominated the witness stages (~38 s of the 2^16 prove).
+
+
+def main_witness_dev(main_np: np.ndarray):
+    """numpy (h, 379) main table with AIR columns filled -> device gf
+    (379, h) with the 230 derived columns computed on device.
+    Bit-identical to fill_derived_main_columns (same tape)."""
+    import jax
+
+    h = main_np.shape[0]
+    n_air = columns.NUM_MAIN_AIR_COLUMNS
+    air = gf.from_u64(np.ascontiguousarray(main_np[:, :n_air].T))
+    fn, cols = _derived_fill_fn(True, h)
+    tape, _, _ = _derived_fill_tape(True)
+    assert tape.main_cols.size == 0 or tape.main_cols.max() < n_air
+    idx = np.array([col for _, col in cols], np.int32)
+    return _assemble_main_fn(h, n_air)(air, fn(air, None, None)[0],
+                                       jax.device_put(idx))
+
+
+@functools.lru_cache(maxsize=4)
+def _assemble_main_fn(h: int, n_air: int):
+    import jax
+    import jax.numpy as jnp
+
+    from ..tables.master import NUM_MAIN
+
+    def fn(air, derived_base, idx):
+        return tuple(
+            jnp.zeros((NUM_MAIN, h), jnp.uint32)
+            .at[:n_air].set(a).at[idx].set(d)
+            for a, d in zip(air, derived_base))
+
+    return jax.jit(fn)
+
+
+def aux_witness_dev(main_dev, challenges, batch_randomizer: np.ndarray):
+    """Device gf main (379, h) -> device gfx triple (91, h): scan columns
+    + derived aux columns + the batch-randomizer column (uploaded, tiny).
+    Bit-identical to extend + fill_derived_aux_columns + the randomizer
+    write (same tapes/scans)."""
+    import jax
+
+    from ..tables.master import NUM_AUX
+
+    h = main_dev[0].shape[-1]
+    clo, chi = _pack_challenges(challenges)
+    packed = _run_pipeline_inputs(
+        (main_dev[0], main_dev[1], jax.device_put(clo),
+         jax.device_put(chi)))
+    fn, cols = _derived_fill_fn(False, h)
+    tape, _, _ = _derived_fill_tape(False)
+    assert (tape.aux_cols.size == 0
+            or tape.aux_cols.max() < columns.NUM_AUX_AIR_COLUMNS)
+    idx = np.array([col for _, col in cols], np.int32)
+    rand = np.asarray(batch_randomizer, np.uint64)  # (h, 3)
+    rand_pair = tuple(_pack_u64(rand[:, c]) for c in range(3))
+    ch3 = np.zeros((len(CHALLENGE_NAMES), 3), np.uint64)
+    for i, name in enumerate(CHALLENGE_NAMES):
+        ch3[i] = challenges[name]
+    ch_dev = tuple(gf.from_u64(ch3[:, c]) for c in range(3))
+    air3 = tuple((packed[:, c, 0], packed[:, c, 1]) for c in range(3))
+    derived = fn(main_dev, air3, ch_dev)
+    return _assemble_aux_fn(h)(air3, derived, jax.device_put(idx),
+                               tuple(tuple(jax.device_put(p)
+                                           for p in rp)
+                                     for rp in rand_pair))
+
+
+@functools.lru_cache(maxsize=4)
+def _assemble_aux_fn(h: int):
+    import jax
+    import jax.numpy as jnp
+
+    from ..tables.master import NUM_AUX
+
+    n_air = columns.NUM_AUX_AIR_COLUMNS
+
+    def fn(air3, derived3, idx, rand3):
+        out = []
+        for c in range(3):
+            planes = tuple(
+                jnp.zeros((NUM_AUX, h), jnp.uint32)
+                .at[:n_air].set(a).at[idx].set(d).at[NUM_AUX - 1].set(r)
+                for a, d, r in zip(air3[c], derived3[c], rand3[c]))
+            out.append(planes)
+        return tuple(out)
+
+    return jax.jit(fn)

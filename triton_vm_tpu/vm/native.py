@@ -107,9 +107,37 @@ def _load():
         lib.tvm_copy_instruction_multiplicities.argtypes = [
             ctypes.c_void_p, u32p]
         lib.tvm_free.argtypes = [ctypes.c_void_p]
+        lib.tvm_tip5_permute.argtypes = [u64p]
+        lib.tvm_tip5_pad_absorb.argtypes = [u64p, u64p, ctypes.c_uint64]
         _init_constants(lib)
         _LIB = lib
         return lib
+
+
+def tip5_permute_native(state):
+    """In-place C Tip5 permutation of a 16-element list; None if the
+    native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    buf = np.array(state, np.uint64)
+    lib.tvm_tip5_permute(buf.ctypes.data_as(
+        ctypes.POINTER(ctypes.c_uint64)))
+    return [int(x) for x in buf]
+
+
+def tip5_pad_absorb_native(state, words):
+    """C pad-and-absorb-all into a 16-element state list; None if the
+    native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    buf = np.array(state, np.uint64)
+    w = np.ascontiguousarray(np.asarray(words, np.uint64))
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    lib.tvm_tip5_pad_absorb(buf.ctypes.data_as(u64p),
+                            w.ctypes.data_as(u64p), len(w))
+    return [int(x) for x in buf]
 
 
 def _hash_col_layout() -> np.ndarray:
