@@ -71,12 +71,22 @@ def main():
         "merkle_auth": (None, None, "prove_merkle_auth_path"),
     }
     which = os.environ.get("TVM_BENCH", "fib_1024")
+    if which.startswith("spin_") and which not in configs:
+        # arbitrary spin height: TVM_BENCH=spin_<2^k> (e.g. spin_262144)
+        log2h = int(which.split("_")[1]).bit_length() - 1
+
+        def make_spin(log2h=log2h):
+            program, iterations = ex.spin(log2h)
+            return program, [iterations]
+
+        configs[which] = (make_spin, None,
+                          f"prove_spin_padded_height_{1 << log2h}")
     if which not in configs:
         raise SystemExit(f"unknown TVM_BENCH={which!r}; "
                          f"choose from {sorted(configs)}")
     make_program, inputs, metric = configs[which]
     non_determinism = None
-    if which == "spin_65536":
+    if which.startswith("spin_"):
         program, inputs = make_program()
     elif which == "merkle_auth":
         program, inputs, non_determinism = _merkle_auth_fixture(height=10)

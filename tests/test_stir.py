@@ -63,3 +63,46 @@ def test_rejects_tampered_proof():
     words[len(words) // 2] = (words[len(words) // 2] + 1) % P
     with pytest.raises(Exception):
         stir.verify(ProofStream.decode(words))
+
+
+def test_device_prove_transcript_matches_host():
+    """The device round loop (_prove_device) must emit the exact same
+    transcript words as the host reference loop."""
+    import os
+
+    import numpy as np
+
+    from triton_vm_tpu.fields.bfe import P
+    from triton_vm_tpu.ldt.stir import Stir, StirParameters
+    from triton_vm_tpu.stark.proof_stream import ProofStream
+
+    params = StirParameters(security_level=64, log2_folding_factor=2,
+                            log2_initial_expansion_factor=2,
+                            log2_high_degree_bound=8)
+    stir = Stir(params)
+    rng = np.random.default_rng(21)
+    # a true low-degree codeword
+    from triton_vm_tpu.ops import gfx, ntt
+    coeffs = np.zeros((stir.domain.length, 3), np.uint64)
+    coeffs[:params.max_degree() + 1] = rng.integers(
+        0, P, (params.max_degree() + 1, 3), dtype=np.uint64)
+    cw = gfx.to_u64(ntt.xfe_map(ntt.ntt, gfx.from_u64(coeffs),
+                                stir.domain.offset))
+    codeword = [tuple(int(c) for c in row) for row in cw]
+
+    prev = os.environ.get("TVM_STIR_DEVICE")
+    try:
+        os.environ["TVM_STIR_DEVICE"] = "0"
+        ps_host = ProofStream()
+        idx_host = stir.prove(list(codeword), ps_host)
+        os.environ["TVM_STIR_DEVICE"] = "1"
+        ps_dev = ProofStream()
+        idx_dev = stir.prove(list(codeword), ps_dev)
+    finally:
+        if prev is None:
+            os.environ.pop("TVM_STIR_DEVICE", None)
+        else:
+            os.environ["TVM_STIR_DEVICE"] = prev
+
+    assert idx_host == idx_dev
+    assert ps_host.to_proof().words == ps_dev.to_proof().words

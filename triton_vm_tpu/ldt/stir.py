@@ -165,11 +165,25 @@ class Stir:
 
     def prove(self, codeword, proof_stream) -> list[int]:
         """stir.rs:885-993. Returns the first round's raw query indices."""
+        import os
+
+        import jax
+
         domain = self.domain
+        force = os.environ.get("TVM_STIR_DEVICE")
+        use_dev = (force == "1" or
+                   (force != "0" and jax.default_backend() != "cpu"))
+        if use_dev:
+            if not isinstance(codeword, tuple):
+                cw = np.asarray(codeword, np.uint64).reshape(-1, 3)
+                codeword = gfx.from_u64(cw)
+            if gfx.shape(codeword)[0] != domain.length:
+                raise LdtError("initial codeword length mismatch")
+            return self._prove_device(codeword, proof_stream)
         if isinstance(codeword, tuple):  # gfx device value
-            from ..ops import gfx
+            from ..ops import gfx as _gfx
             codeword = [tuple(int(c) for c in row)
-                        for row in gfx.to_u64(codeword)]
+                        for row in _gfx.to_u64(codeword)]
         if len(codeword) != domain.length:
             raise LdtError("initial codeword length mismatch")
         k = self.folding_factor
@@ -231,6 +245,111 @@ class Stir:
         # final round: no quotienting (stir.rs:976-992)
         folding_randomness = proof_stream.sample_scalars(1)[0]
         final_poly = self.fold_polynomial(coeffs, k, folding_randomness)
+        proof_stream.enqueue(ProofItem(
+            "Polynomial", [tuple(c) for c in poly.trim(final_poly, xfe)]))
+
+        folded_domain = domain.pow(k)
+        queried_indices = proof_stream.sample_indices(
+            domain.length, self.final_num_in_domain_queries)
+        folded_queried_indices = _unique(
+            i % folded_domain.length for i in queried_indices)
+        proof_stream.enqueue(ProofItem(
+            "StirResponse",
+            commitment.inclusion_proof(folded_queried_indices)))
+
+        return (first_round_indices if first_round_indices is not None
+                else queried_indices)
+
+    def _prove_device(self, cw_dev, proof_stream) -> list[int]:
+        """Device round loop: identical transcript to `prove` (every
+        emitted value is the same exact field element), with the
+        codeword, folds, NTTs, point evaluations and the
+        quotient-by-zerofier on device. The quotient is computed in the
+        NEXT evaluation domain — exact because deg(quotient * dc) <
+        |next domain| and the quotient points provably avoid the domain
+        (offsets are powers of the field generator, whose order divides
+        no 2-power; checked per round anyway)."""
+        import jax.numpy as jnp
+
+        def pad_to(v, n):
+            cur = gfx.shape(v)[0]
+            if cur == n:
+                return v
+            return gfx.tmap(lambda a: jnp.pad(a, (0, n - cur)), v)
+
+        k = self.folding_factor
+        domain = self.domain
+        commitment = _StirMerkleTreeDev(cw_dev, k)
+        proof_stream.enqueue(ProofItem("MerkleRoot", commitment.root()))
+        coeffs_dev = ntt.xfe_map(ntt.intt, cw_dev, domain.offset)
+        first_round_indices = None
+
+        global _QNV_FN
+        if _QNV_FN is None:
+            _QNV_FN = _quotient_next_vals_fn()
+
+        for in_domain, out_of_domain in self.round_queries:
+            folding_randomness = proof_stream.sample_scalars(1)[0]
+            folded_dev = _fold_device(coeffs_dev, k, folding_randomness)
+            next_domain = self.next_round_domain(domain)
+            nd_len = next_domain.length
+
+            folded_evals_dev = ntt.xfe_map(
+                ntt.ntt, pad_to(folded_dev, nd_len), next_domain.offset)
+            folded_commitment = _StirMerkleTreeDev(folded_evals_dev, k)
+            proof_stream.enqueue(ProofItem("MerkleRoot",
+                                           folded_commitment.root()))
+
+            ood_queries = proof_stream.sample_scalars(out_of_domain)
+            queried_indices = None  # sampled after OOD values are sent
+            for pt in ood_queries:
+                if _point_on_domain(pt, next_domain):
+                    raise LdtError("OOD query on evaluation domain")
+            ood_values = _eval_folded_at(folded_dev, ood_queries)
+            proof_stream.enqueue(ProofItem("StirOutOfDomainValues",
+                                           list(ood_values)))
+
+            queried_indices = proof_stream.sample_indices(
+                domain.length, in_domain)
+            folded_domain = domain.pow(k)
+            folded_queried_indices = _unique(
+                i % folded_domain.length for i in queried_indices)
+            proof_stream.enqueue(ProofItem(
+                "StirResponse",
+                commitment.inclusion_proof(folded_queried_indices)))
+
+            queried_domain_values = [folded_domain.value(i)
+                                     for i in folded_queried_indices]
+            pt_lifts = [xfe.lift(x) for x in queried_domain_values]
+            for pt in pt_lifts:
+                if _point_on_domain(pt, next_domain):
+                    raise LdtError("quotient point on evaluation domain")
+            pt_evals = _eval_folded_at(folded_dev, pt_lifts)
+            points_to_quotient_out = pt_evals + list(ood_values)
+            domain_values_out = pt_lifts + list(ood_queries)
+            answer_poly = poly.interpolate(domain_values_out,
+                                           points_to_quotient_out, xfe)
+
+            dc_randomness = proof_stream.sample_scalars(1)[0]
+            dc_coeffs = _powers(dc_randomness,
+                                len(points_to_quotient_out) + 1)
+            ans_evals = _eval_poly_on_domain_dev(answer_poly, next_domain)
+            z_evals = _zerofier_on_domain_dev(domain_values_out,
+                                              next_domain)
+            dc_evals = _eval_poly_on_domain_dev(dc_coeffs, next_domain)
+            next_vals = _QNV_FN(nd_len)(folded_evals_dev, ans_evals,
+                                        z_evals, dc_evals)
+            coeffs_dev = ntt.xfe_map(ntt.intt, next_vals,
+                                     next_domain.offset)
+            domain = next_domain
+            commitment = folded_commitment
+            if first_round_indices is None:
+                first_round_indices = queried_indices
+
+        folding_randomness = proof_stream.sample_scalars(1)[0]
+        final_dev = _fold_device(coeffs_dev, k, folding_randomness)
+        final_poly = [tuple(int(c) for c in row)
+                      for row in gfx.to_u64(final_dev)]
         proof_stream.enqueue(ProofItem(
             "Polynomial", [tuple(c) for c in poly.trim(final_poly, xfe)]))
 
@@ -481,3 +600,305 @@ class _StirMerkleTree:
             "queried_leaves": [list(self.stacked[i]) for i in indices],
             "auth_structure": self.tree.authentication_structure(indices),
         }
+
+
+# ------------------------------------------------- device prove pipeline
+# The host round loop above evaluates the folded polynomial at ~150
+# points and divides by the query zerofier in pure-Python XFE arithmetic
+# — tens of millions of host field ops at 2^16 (measured ~46 s, and it
+# scales linearly with the degree bound). The device pipeline keeps the
+# codeword/coefficients on device the whole way: k-wise fold, NTT
+# re-evaluation, batched barycentric point evaluation, and the
+# quotient-by-zerofier computed in the NEXT evaluation domain (exact: the
+# quotient-times-degree-correction polynomial has degree < |next domain|,
+# and the quotient points provably avoid the domain — checked per round).
+# Every emitted transcript value is the same exact field element as the
+# host path's (differential test: test_stir.py device-vs-host transcript).
+
+
+_EVAL_BLOCK = 128
+
+
+def _horner_pts_cache():
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    @functools.lru_cache(maxsize=32)
+    def fn(n, m):
+        B = _EVAL_BLOCK
+
+        def eval_pts(coeffs, pts):
+            # coeffs gfx (n,) low->high; pts gfx (m,) -> gfx (m,)
+            nb = n // B
+            ch = gfx.tmap(
+                lambda a: a.reshape(nb, B)[::-1], coeffs)  # high block 1st
+            # x^B per point via log2(B) squarings
+            xB = pts
+            for _ in range(B.bit_length() - 1):
+                xB = gfx.mul(xB, xB)
+
+            def step(acc, block):
+                # block gfx (B,); Horner over the block, high->low
+                bacc = gfx.tmap(
+                    lambda a: jnp.broadcast_to(a[B - 1], (m,)), block)
+                for t in range(B - 2, -1, -1):
+                    bacc = gfx.add(
+                        gfx.mul(bacc, pts),
+                        gfx.tmap(lambda a, t=t: jnp.broadcast_to(
+                            a[t], (m,)), block))
+                return gfx.add(gfx.mul(acc, xB), bacc), None
+
+            acc, _ = jax.lax.scan(step, gfx.zeros((m,)), ch)
+            return acc
+
+        return jax.jit(eval_pts)
+
+    return fn
+
+
+_HPTS_FN = None
+
+
+def _eval_folded_at(coeffs_dev, points):
+    """Evaluate the polynomial with device coefficients `coeffs_dev`
+    (gfx (n,), low->high, zero-padded) at a list of XFE points —
+    blocked Horner on device, exact field arithmetic (identical values
+    to poly.evaluate). Points processed in shape-stable chunks of 16."""
+    global _HPTS_FN
+    if _HPTS_FN is None:
+        _HPTS_FN = _horner_pts_cache()
+    import jax.numpy as jnp
+
+    n = gfx.shape(coeffs_dev)[0]
+    if n % _EVAL_BLOCK:
+        npad = -(-n // _EVAL_BLOCK) * _EVAL_BLOCK
+        coeffs_dev = gfx.tmap(lambda a: jnp.pad(a, (0, npad - n)),
+                              coeffs_dev)
+        n = npad
+    fn = _HPTS_FN(n, 16)
+    out = []
+    for i in range(0, len(points), 16):
+        chunk = list(points[i:i + 16])
+        real = len(chunk)
+        while len(chunk) < 16:  # shape-stable: pad with a dummy point
+            chunk.append((1, 2, 3))
+        pts = gfx.from_u64(np.array(chunk, np.uint64))
+        got = gfx.to_u64(fn(coeffs_dev, pts))
+        out += [tuple(int(c) for c in row) for row in got[:real]]
+    return out
+
+
+def _fold_dev_fn():
+    import functools
+
+    import jax
+
+    @functools.lru_cache(maxsize=32)
+    def make(n, k):
+        def fold(coeffs, r):
+            # coeffs gfx (n,) -> gfx (n/k,): Horner over each k-chunk
+            ch = gfx.tmap(lambda a: a.reshape(n // k, k), coeffs)
+            acc = gfx.tmap(lambda a: a[:, k - 1], ch)
+            for t in range(k - 2, -1, -1):
+                acc = gfx.add(gfx.mul(acc, r),
+                              gfx.tmap(lambda a, t=t: a[:, t], ch))
+            return acc
+
+        return jax.jit(fold)
+
+    return make
+
+
+_FOLD_FN = None
+
+
+def _fold_device(coeffs_dev, k, randomness):
+    global _FOLD_FN
+    if _FOLD_FN is None:
+        _FOLD_FN = _fold_dev_fn()
+    n = gfx.shape(coeffs_dev)[0]
+    r = gfx.from_u64(np.array(randomness, np.uint64))
+    return _FOLD_FN(n, k)(coeffs_dev, r)
+
+
+def _horner_domain_fn():
+    import functools
+
+    import jax
+
+    @functools.lru_cache(maxsize=32)
+    def make(n, m):
+        def f(coeffs, xs):
+            # coeffs gfx (m,) high-to-low padded; evaluate at gf xs (n,)
+            acc = gfx.tmap(lambda a: jnp_broadcast(a[0], n), coeffs)
+            for t in range(1, m):
+                acc = gfx.add(gfx.bfe_mul(acc, xs),
+                              gfx.tmap(lambda a, t=t: jnp_broadcast(a[t], n),
+                                       coeffs))
+            return acc
+
+        import jax.numpy as jnp
+
+        def jnp_broadcast(v, n):
+            return jnp.broadcast_to(v, (n,))
+
+        return jax.jit(f)
+
+    return make
+
+
+_HORNER_FN = None
+
+
+def _eval_poly_on_domain_dev(coeffs, domain: Domain, pad_to=None):
+    """Evaluate a SHORT (host-list) XFE polynomial on every point of
+    `domain`, on device. Returns gfx (n,)."""
+    global _HORNER_FN
+    if _HORNER_FN is None:
+        _HORNER_FN = _horner_domain_fn()
+    from ..ops import kernels
+
+    coeffs = list(coeffs) or [xfe.ZERO]
+    m = pad_to or _ceil16(len(coeffs))
+    # high-to-low order, zero-padded at the HIGH end (harmless for Horner)
+    arr = np.zeros((m, 3), np.uint64)
+    arr[m - len(coeffs):] = np.array(coeffs[::-1], np.uint64)
+    xs = kernels._domain_powers(domain.generator, domain.offset,
+                                domain.length)
+    return _HORNER_FN(domain.length, m)(gfx.from_u64(arr), xs)
+
+
+def _quotient_next_vals_fn():
+    import functools
+
+    import jax
+
+    @functools.lru_cache(maxsize=32)
+    def make(n):
+        def f(folded_evals, ans_evals, z_evals, dc_evals):
+            num = gfx.sub(folded_evals, ans_evals)
+            return gfx.mul(gfx.mul(num, gfx.inv(z_evals)), dc_evals)
+
+        return jax.jit(f)
+
+    return make
+
+
+_QNV_FN = None
+
+
+def _point_on_domain(point, domain: Domain) -> bool:
+    """Exact membership check of an XFE point in a base-field coset."""
+    if point[1] or point[2]:
+        return False
+    x = point[0] * pow(domain.offset, P - 2, P) % P
+    return pow(x, domain.length, P) == 1
+
+
+class _StirMerkleTreeDev:
+    """_StirMerkleTree over a DEVICE codeword: leaf rows are assembled,
+    hashed, and tree-built on device; only queried stacks and auth nodes
+    are ever read back. Same leaf layout, same digests."""
+
+    _rows_cache = {}
+
+    def __init__(self, cw_dev, stack_height):
+        n = gfx.shape(cw_dev)[0]
+        self._k = stack_height
+        self._distance = n // stack_height
+        rows = self._rows_fn(n, stack_height)(cw_dev)
+        digests = tip5_kernel.sponge_absorb_rows(rows)
+        self.tree = merkle.MerkleTree(digests)
+        self._cw = cw_dev
+
+    @classmethod
+    def _rows_fn(cls, n, k):
+        key = (n, k)
+        if key not in cls._rows_cache:
+            import jax
+            import jax.numpy as jnp
+
+            d = n // k
+
+            def rows(cw):
+                # (distance, 3k): row i = [cw[i], cw[i+d], ...] flattened
+                planes = []
+                for pair in cw:  # 3 coefficients
+                    planes.append(tuple(a.reshape(k, d).T for a in pair))
+                return tuple(
+                    jnp.stack([planes[c][p] for c in range(3)], axis=2)
+                    .reshape(d, 3 * k) for p in range(2))
+
+            cls._rows_cache[key] = jax.jit(rows)
+        return cls._rows_cache[key]
+
+    def root(self):
+        return self.tree.root()
+
+    def inclusion_proof(self, indices):
+        idx = np.array([i + s * self._distance for i in indices
+                        for s in range(self._k)], np.int64)
+        sel = gfx.to_u64(gfx.tmap(lambda a: a[idx], self._cw))
+        k = self._k
+        leaves = [[tuple(int(c) for c in sel[j * k + s]) for s in range(k)]
+                  for j in range(len(indices))]
+        return {"queried_leaves": leaves,
+                "auth_structure": self.tree.authentication_structure(
+                    indices)}
+
+
+def _ceil16(m: int) -> int:
+    return -(-m // 16) * 16
+
+
+def _zerofier_fn_cache():
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    @functools.lru_cache(maxsize=32)
+    def make(n, m):
+        def f(pts, mask, xs):
+            # prod over i of (lift(xs) - pts[i]), masked entries -> 1
+            acc = gfx.ones((n,))
+            one = gfx.ones((n,))
+            for i in range(m):
+                p0 = gfx.tmap(lambda a, i=i: a[i], pts)
+                term = (gf.sub(xs, gf.broadcast_to(p0[0], (n,))),
+                        gf.broadcast_to(gf.neg(p0[1]), (n,)),
+                        gf.broadcast_to(gf.neg(p0[2]), (n,)))
+                term = gfx.select(jnp.broadcast_to(mask[i], (n,)),
+                                  term, one)
+                acc = gfx.mul(acc, term)
+            return acc
+
+        return jax.jit(f)
+
+    return make
+
+
+_ZERO_FN = None
+
+
+def _zerofier_on_domain_dev(points, domain: Domain):
+    """Zerofier of `points` (XFE list) evaluated on every domain point,
+    on device; point count padded to 16 so shapes are proof-independent."""
+    global _ZERO_FN
+    if _ZERO_FN is None:
+        _ZERO_FN = _zerofier_fn_cache()
+    from ..ops import kernels
+
+    m = _ceil16(len(points))
+    arr = np.zeros((m, 3), np.uint64)
+    arr[:len(points)] = np.array(points, np.uint64)
+    mask = np.zeros(m, bool)
+    mask[:len(points)] = True
+    xs = kernels._domain_powers(domain.generator, domain.offset,
+                                domain.length)
+    import jax
+
+    return _ZERO_FN(domain.length, m)(gfx.from_u64(arr),
+                                      jax.device_put(mask), xs)
