@@ -30,6 +30,7 @@ instrumented unconditionally.
 
 from __future__ import annotations
 
+import logging
 import time
 from contextlib import contextmanager
 from dataclasses import dataclass, field
@@ -81,6 +82,11 @@ class _Profiler:
         too; if it is not open at all, this is a no-op."""
         names = [self.tasks[self.order[i]].name for i in self.active]
         if name not in names:
+            # Tolerated for crash recovery, but loudly: a typo'd span
+            # name would otherwise silently drop timing data.
+            logging.getLogger(__name__).warning(
+                "profiler: exit(%r) with no matching open span "
+                "(open: %r)", name, names)
             return
         target = len(names) - 1 - names[::-1].index(name)
         while len(self.active) > target:
@@ -179,6 +185,12 @@ class PerformanceProfile:
     def with_ldt_domain_len(self, n: int) -> "PerformanceProfile":
         self.ldt_domain_len = n
         return self
+
+    def spans(self) -> list[tuple[str, float, str | None]]:
+        """Top-level (name, seconds, category) triples, report order —
+        for embedding a stage profile in machine-readable output."""
+        return [(t.name, t.total_duration, t.category)
+                for t in self.tasks if t.parent is None]
 
     def _tree_prefix(self, index: int) -> str:
         task = self.tasks[index]
