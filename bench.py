@@ -104,6 +104,23 @@ def _merkle_auth_fixture(height: int):
             NonDeterminism(digests=digests))
 
 
+def _recursive_verifier_fixture():
+    """BASELINE config 5: the inner proof is a small fib proof; the
+    benchmarked workload proves the VM execution of the verifier-core
+    program checking that proof (models/recursive_verifier.py)."""
+    from triton_vm_tpu import Claim, Stark, PublicInput, VM
+    from triton_vm_tpu.models import example_programs as ex
+    from triton_vm_tpu.models import recursive_verifier as rv
+
+    program = ex.fibonacci()
+    aet, output = VM.trace_execution(program, PublicInput([7]))
+    claim = (Claim.about_program(program)
+             .with_input([7]).with_output(output))
+    inner = Stark().prove(claim, aet, seed=bytes(range(32)))
+    r = rv.build(claim, inner, Stark(), num_queries=1)
+    return r.programs["combined"], [], r.non_determinism
+
+
 def main():
     os.environ.setdefault("TVM_JAX_CACHE", "1")
     threading.Thread(target=_watchdog, daemon=True).start()
@@ -128,6 +145,10 @@ def main():
         # config 4: Merkle authentication-path verification (divine +
         # merkle_step; RAM-light, hash-heavy)
         "merkle_auth": (None, None, "prove_merkle_auth_path"),
+        # config 5: prove the execution of the recursive-verifier core
+        # (models/recursive_verifier.py — STARK verification inside the
+        # VM; AIR eval + OOD check + Merkle walks + DEEP updates)
+        "recursive_verifier": (None, None, "prove_recursive_verifier"),
     }
     which = os.environ.get("TVM_BENCH", "fib_1024")
     if which.startswith("spin_") and which not in configs:
@@ -151,6 +172,8 @@ def main():
         program, inputs = make_program()
     elif which == "merkle_auth":
         program, inputs, non_determinism = _merkle_auth_fixture(height=10)
+    elif which == "recursive_verifier":
+        program, inputs, non_determinism = _recursive_verifier_fixture()
     else:
         program = make_program()
     aet, output = VM.trace_execution(program, PublicInput(inputs),
@@ -231,6 +254,57 @@ def main():
             _STATE["line"] = result(
                 prove_seconds, cold_prove_s=round(cold_seconds, 3),
                 ramp_s=round(ramp_s, 1), stages=stages)
+            _emit(_STATE["line"])
+
+    # Speed-of-light accounting (TVM_BENCH_SOL=1): per-kernel throughput
+    # vs the chip's HBM bandwidth — the honest ceiling for these
+    # bandwidth-bound kernels (one read + one write per element).
+    if (os.environ.get("TVM_BENCH_SOL") == "1"
+            and _elapsed() + 60.0 < _BUDGET - 20.0):
+        _STATE["phase"] = "sol"
+        import numpy as np
+        from triton_vm_tpu.fields.bfe import P as _P
+        from triton_vm_tpu.ops import gf, tip5_kernel
+
+        peak_gbps = float(os.environ.get("TVM_HBM_GBPS", "819"))
+        rng = np.random.default_rng(3)
+
+        def fence(v):
+            leaf = v
+            while isinstance(leaf, tuple):
+                leaf = leaf[0]
+            np.asarray(leaf[(0,) * leaf.ndim])
+
+        def rate(f, arg, n=3):
+            fence(f(arg))  # build + warm
+            t0 = time.perf_counter()
+            for _ in range(n):
+                fence(f(arg))
+            return (time.perf_counter() - t0) / n
+
+        sol = {}
+        b = 1 << 18
+        st = gf.from_u64(rng.integers(0, _P, (16, b), dtype=np.uint64))
+        t = rate(tip5_kernel.permutation, st)
+        gbps = 2 * 16 * b * 8 / t / 1e9  # one read + one write of state
+        sol["tip5_perms_per_s"] = round(b / t)
+        sol["tip5_ns_per_perm"] = round(1e9 * t / b, 2)
+        sol["tip5_hbm_gbps"] = round(gbps, 1)
+        sol["tip5_pct_of_hbm_sol"] = round(100 * gbps / peak_gbps, 1)
+        rows = gf.from_u64(rng.integers(0, _P, (b, 379), dtype=np.uint64))
+        t = rate(tip5_kernel.sponge_absorb_rows, rows)
+        gbps = (b * 379 * 8 + b * 40) / t / 1e9
+        sol["row_sponge_rows_per_s"] = round(b / t)
+        sol["row_sponge_hbm_gbps"] = round(gbps, 1)
+        sol["row_sponge_pct_of_hbm_sol"] = round(100 * gbps / peak_gbps, 1)
+        from triton_vm_tpu.ops import ntt as _ntt
+        cols = gf.from_u64(rng.integers(0, _P, (379, 1 << 12),
+                                        dtype=np.uint64))
+        t = rate(lambda v: _ntt.lde(v, 4, 1, 7), cols)
+        limbs = 379 * (1 << 12) * 4
+        sol["lde4x_limbs_per_s_379x4096"] = round(limbs / t)
+        with _LOCK:
+            _STATE["line"] = dict(_STATE["line"], sol=sol)
             _emit(_STATE["line"])
 
     verify_s = None

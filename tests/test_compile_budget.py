@@ -10,9 +10,11 @@ reintroduce a pathological compile into the CPU-mesh dryrun.
 Budgets are ~5x the measured times on a 4-core CPU worker (measured:
 commit 27 s incl. tracing, OOD 11 s, DEEP 8 s) — loose enough for
 machine noise, tight enough that a return of the >600 s pathology fails
-immediately.
+immediately. On a slower/loaded machine set TVM_BUDGET_SCALE (budget
+multiplier, default 1) instead of editing the bounds.
 """
 
+import os
 import time
 
 import numpy as np
@@ -22,6 +24,7 @@ from triton_vm_tpu.fields.bfe import P
 from triton_vm_tpu.ops import gf, gfx, kernels
 
 rng = np.random.default_rng(7)
+_SCALE = float(os.environ.get("TVM_BUDGET_SCALE", "1"))
 
 # distinct shapes from other tests so per-shape jit caches are cold here
 E, L, NM, NA = 1024, 1024, 379, 91
@@ -44,7 +47,8 @@ def test_ood_stage_cold_build_under_budget():
     fn = kernels.ood_stage_fn(E, L, g, 7, g, 7)
     t0 = time.time()
     _block(fn(main, aux, segs, pt(), pt(), pt(), pt()))
-    assert time.time() - t0 < 60, "OOD stage cold build blew its budget"
+    assert time.time() - t0 < 60 * _SCALE, \
+        "OOD stage cold build blew its budget"
 
 
 def test_deep_combination_cold_build_under_budget():
@@ -58,7 +62,8 @@ def test_deep_combination_cold_build_under_budget():
     dfn = kernels.deep_combination_fn(E, L, g, 7, 7, 1, 1)
     t0 = time.time()
     _block(dfn(main, aux, segs, wv(NM), wv(NA), wv(5), wv(4), wv(4), wv(4)))
-    assert time.time() - t0 < 60, "DEEP stage cold build blew its budget"
+    assert time.time() - t0 < 60 * _SCALE, \
+        "DEEP stage cold build blew its budget"
 
 
 def test_commit_cold_build_under_budget():
@@ -71,7 +76,8 @@ def test_commit_cold_build_under_budget():
     z = gf.from_u64(rng.integers(0, P, (E,), dtype=np.uint64))
     t0 = time.time()
     _block(fn(cols, rand, z))
-    assert time.time() - t0 < 150, "commit stage cold build blew its budget"
+    assert time.time() - t0 < 150 * _SCALE, \
+        "commit stage cold build blew its budget"
 
 
 @pytest.mark.slow
@@ -87,4 +93,6 @@ def test_reduce_sum_execution_not_interpreted():
     _block(f(a))  # build
     t0 = time.time()
     _block(f(a))
-    assert time.time() - t0 < 2, "reduce_sum executes pathologically slowly"
+    # the pathology was 212 s; 8 s (x scale) is far above honest noise
+    assert time.time() - t0 < 8 * _SCALE, \
+        "reduce_sum executes pathologically slowly"

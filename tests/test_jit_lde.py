@@ -210,3 +210,34 @@ def test_config_cache_decision():
     # heuristic: tiny tables cache, absurdly tall ones do not
     assert config.cache_lde_trace(1 << 10) is config.CacheDecision.CACHE
     assert config.cache_lde_trace(1 << 40) is config.CacheDecision.JIT
+
+
+@pytest.mark.slow
+def test_jit_mode_chunked_quotients_bit_identical():
+    """The row-chunked coset quotient path (used when the coset is
+    taller than _QUOTIENT_CHUNK_ROWS — the h=2^18 OOM fix, r5) must be
+    transcript-identical to the unchunked JIT path."""
+    import os
+
+    from triton_vm_tpu import Claim, PublicInput, Stark, VM
+    from triton_vm_tpu.models import example_programs as ex
+    from triton_vm_tpu.stark import prover as prover_mod
+
+    program = ex.fibonacci()
+    aet, output = VM.trace_execution(program, PublicInput([10]))
+    claim = (Claim.about_program(program)
+             .with_input([10]).with_output(output))
+    stark = Stark()
+    seed = bytes(range(32))
+
+    os.environ["TVM_CACHE_LDE"] = "jit"
+    saved = prover_mod._QUOTIENT_CHUNK_ROWS
+    try:
+        proof_plain = stark.prove(claim, aet, seed=seed)
+        prover_mod._QUOTIENT_CHUNK_ROWS = 128  # force chunking
+        proof_chunked = stark.prove(claim, aet, seed=seed)
+    finally:
+        prover_mod._QUOTIENT_CHUNK_ROWS = saved
+        del os.environ["TVM_CACHE_LDE"]
+
+    assert proof_chunked.words == proof_plain.words

@@ -17,7 +17,8 @@ def initial_constraints(b):
 
     lookup_input_is_0 = lookup_input
 
-    # note: lookup_input is 0 so it is absent from the compressed row
+    # the first row's lookup_input is fixed at 0, so compressing the row
+    # only needs the output term
     lookup_argument_default_initial = constant(0)
     cascade_table_indeterminate = challenge("CascadeLookupIndeterminate")
     compressed_row = lookup_output * challenge("LookupTableOutputWeight")

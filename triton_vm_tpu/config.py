@@ -45,9 +45,11 @@ def overwrite_lde_trace_caching_to(decision: CacheDecision | None) -> None:
 
 def _device_memory_bytes() -> int:
     """Best-effort device memory budget (bytes)."""
+    backend = "cpu"
     try:
         import jax
 
+        backend = jax.default_backend()
         dev = jax.devices()[0]
         stats = dev.memory_stats()
         if stats:
@@ -58,7 +60,13 @@ def _device_memory_bytes() -> int:
                 return max(int(limit) - int(in_use), 0)
     except Exception:
         pass
-    # CPU backend / unknown: use host memory
+    if backend != "cpu":
+        # Accelerator that exposes no memory stats (the tunneled axon
+        # TPU backend): falling back to HOST memory here chose CACHE at
+        # L = 2^21 and OOMed a 15.75 GB chip (BENCH spin_262144, r5).
+        # Assume one v5e-class chip's HBM unless told otherwise.
+        return int(os.environ.get("TVM_DEVICE_HBM_BYTES", str(15 << 30)))
+    # CPU backend: use host memory
     try:
         import os as _os
 

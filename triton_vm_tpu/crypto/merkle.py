@@ -21,6 +21,18 @@ from ..ops import gf, tip5_kernel
 ROOT_INDEX = 1
 
 
+_TAKE_FN = None
+
+
+def _take_jit(flat, idx):
+    global _TAKE_FN
+    if _TAKE_FN is None:
+        import jax
+
+        _TAKE_FN = jax.jit(lambda f, i: gf.take(f, i, axis=1))
+    return _TAKE_FN(flat, idx)
+
+
 class MerkleTree:
     """The tree lives ON DEVICE as a heap-ordered gf pair (5, 2n-1);
     node reads are batched gathers. This matters on the tunneled TPU
@@ -55,10 +67,21 @@ class MerkleTree:
         return self
 
     def _nodes(self, indices) -> list[tuple]:
-        """Digests at 1-based heap node indices: ONE gather + readback."""
-        idx = np.asarray(list(indices), np.int64) - 1
-        sel = gf.to_u64(gf.take(self._flat, idx, axis=1))  # (5, k)
-        return [tuple(int(x) for x in sel[:, j]) for j in range(len(idx))]
+        """Digests at 1-based heap node indices: ONE gather + readback.
+
+        The index count is padded to the next power of two (with the
+        root) so the jitted gather sees O(log) distinct shapes instead
+        of one per proof — auth-structure sizes vary per revealed-index
+        set and each fresh shape would otherwise pay a compile on the
+        tunneled backend."""
+        k = len(list(indices))
+        if k == 0:
+            return []
+        kp = 1 << (k - 1).bit_length()
+        idx = np.full(kp, ROOT_INDEX - 1, np.int64)
+        idx[:k] = np.asarray(list(indices), np.int64) - 1
+        sel = gf.to_u64(_take_jit(self._flat, idx))  # (5, kp)
+        return [tuple(int(x) for x in sel[:, j]) for j in range(k)]
 
     def node(self, index: int) -> tuple:
         return self._nodes([index])[0]
@@ -90,20 +113,24 @@ def auth_structure_node_indices(num_leafs: int, leaf_indices) -> list[int]:
     return sorted(needed - computable, reverse=True)
 
 
-def verify_authentication_structure(
-    root: tuple, num_leafs: int, leaf_indices, leaf_digests, auth_structure
-) -> bool:
-    """MerkleTreeInclusionProof::verify equivalent (host, scalar Tip5)."""
+def partial_tree_nodes(
+    num_leafs: int, leaf_indices, leaf_digests, auth_structure
+) -> dict | None:
+    """All tree nodes recoverable from an authentication structure:
+    {node_index: digest}, or None if the structure is malformed. Every
+    node on a revealed leaf's root path — and each such node's sibling —
+    is present, so per-leaf sibling paths can be read out of the result
+    (used by models/recursive_verifier.py to feed `merkle_step`)."""
     from . import tip5
 
     leaf_indices = list(leaf_indices)
     if len(leaf_indices) != len(leaf_digests):
-        return False
+        return None
     if not leaf_indices:
-        return not auth_structure
+        return {} if not auth_structure else None
     needed = auth_structure_node_indices(num_leafs, leaf_indices)
     if len(needed) != len(auth_structure):
-        return False
+        return None
     nodes = {i + num_leafs: tuple(d) for i, d in zip(leaf_indices, leaf_digests)}
     nodes.update({i: tuple(d) for i, d in zip(needed, auth_structure)})
     frontier = sorted(nodes, reverse=True)
@@ -116,11 +143,24 @@ def verify_authentication_structure(
             continue
         sibling = idx ^ 1
         if sibling not in nodes:
-            return False
+            return None
         left, right = (idx, sibling) if idx % 2 == 0 else (sibling, idx)
         nodes[parent] = tuple(tip5.hash_pair(nodes[left], nodes[right]))
         # keep frontier sorted descending
         import bisect
         pos = bisect.bisect_left([-f for f in frontier], -parent)
         frontier.insert(pos, parent)
+    return nodes
+
+
+def verify_authentication_structure(
+    root: tuple, num_leafs: int, leaf_indices, leaf_digests, auth_structure
+) -> bool:
+    """MerkleTreeInclusionProof::verify equivalent (host, scalar Tip5)."""
+    nodes = partial_tree_nodes(num_leafs, leaf_indices, leaf_digests,
+                               auth_structure)
+    if nodes is None:
+        return False
+    if not leaf_indices:
+        return True
     return ROOT_INDEX in nodes and tuple(nodes[ROOT_INDEX]) == tuple(root)

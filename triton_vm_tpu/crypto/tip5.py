@@ -156,6 +156,9 @@ class Tip5Sponge:
 
     def squeeze(self):
         out = self.state[:RATE]
+        log = getattr(self, "squeeze_log", None)
+        if log is not None:
+            log.append(("squeeze", list(out)))
         self.state = permutation(self.state)
         return out
 

@@ -176,7 +176,8 @@ class Fri:
 
         _, cw_dev, tree = round_data
         idx = np.array(indices, np.int64)
-        sel3 = [gf.to_u64(gf.take(cw_dev[c], idx, axis=0)) for c in range(3)]
+        sel_d = _take3_jit()(cw_dev, idx)  # one dispatch for 3 coeffs
+        sel3 = [gf.to_u64(sel_d[c]) for c in range(3)]
         queried_leaves = [tuple(int(sel3[c][i]) for c in range(3))
                           for i in range(len(indices))]
         auth = tree.authentication_structure(indices)
@@ -267,6 +268,18 @@ class Fri:
             tuple(root), domain.length, indices, digests, auth)
         if not ok:
             raise LdtError("bad merkle authentication path")
+
+
+@functools.lru_cache(maxsize=1)
+def _take3_jit():
+    """One jitted gather for all 3 XFE coefficient planes (the separate
+    takes were 6 round-trips per FRI round on the tunneled backend)."""
+    import jax
+
+    from ..ops import gf
+
+    return jax.jit(lambda cw, i: tuple(gf.take(cw[c], i, axis=0)
+                                       for c in range(3)))
 
 
 def _intt_full(codeword):

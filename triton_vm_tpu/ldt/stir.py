@@ -268,7 +268,14 @@ class Stir:
         NEXT evaluation domain — exact because deg(quotient * dc) <
         |next domain| and the quotient points provably avoid the domain
         (offsets are powers of the field generator, whose order divides
-        no 2-power; checked per round anyway)."""
+        no 2-power; checked per round anyway).
+
+        Behavioral divergence from the host path: if a sampled OOD
+        query or a queried-domain point DOES land on the next
+        evaluation domain (probability ~2^-170 per prove), this path
+        raises LdtError, while the host loop would succeed via exact
+        polynomial division. A production caller may catch LdtError and
+        retry via the host prover; completeness is otherwise identical."""
         import jax.numpy as jnp
 
         def pad_to(v, n):
@@ -281,7 +288,11 @@ class Stir:
         domain = self.domain
         commitment = _StirMerkleTreeDev(cw_dev, k)
         proof_stream.enqueue(ProofItem("MerkleRoot", commitment.root()))
-        coeffs_dev = ntt.xfe_map(ntt.intt, cw_dev, domain.offset)
+        # tall single-column transforms distribute over the active mesh
+        # (six-step, ops/ntt_sharded) — P1 intra-column sharding
+        from ..ops import ntt_sharded
+
+        coeffs_dev = ntt_sharded.xfe_intt_auto(cw_dev, domain.offset)
         first_round_indices = None
 
         global _QNV_FN
@@ -294,8 +305,8 @@ class Stir:
             next_domain = self.next_round_domain(domain)
             nd_len = next_domain.length
 
-            folded_evals_dev = ntt.xfe_map(
-                ntt.ntt, pad_to(folded_dev, nd_len), next_domain.offset)
+            folded_evals_dev = ntt_sharded.xfe_ntt_auto(
+                pad_to(folded_dev, nd_len), next_domain.offset)
             folded_commitment = _StirMerkleTreeDev(folded_evals_dev, k)
             proof_stream.enqueue(ProofItem("MerkleRoot",
                                            folded_commitment.root()))

@@ -156,17 +156,68 @@ def _domain_powers(generator: int, offset: int, n: int):
     return gf.from_u64(_domain_powers_u64(generator, offset, n))
 
 
-@functools.lru_cache(maxsize=64)
-def _domain_powers_u64(generator: int, offset: int, n: int):
+def _mulmod_scalar_u64(a, b: int):
+    """(a * b) mod p elementwise on a u64 numpy array, b a Python int.
+
+    32-bit-split schoolbook product + the Goldilocks 2^64 == 2^32 - 1
+    reduction, all in wrapping u64 numpy ops (same algebra as the device
+    gf._mul32/_reduce128 kernels)."""
+    import numpy as np
+
+    p = np.uint64(0xFFFFFFFF00000001)
+    mask = np.uint64(0xFFFFFFFF)
+    s32 = np.uint64(32)
+    b %= 0xFFFFFFFF00000001
+    b0, b1 = np.uint64(b & 0xFFFFFFFF), np.uint64(b >> 32)
+    a0, a1 = a & mask, a >> s32
+    lo = a0 * b0
+    hi = a1 * b1
+    mid = a1 * b0  # < 2^64
+    mid2 = a0 * b1
+    mid = mid + mid2
+    mid_c = (mid < mid2).astype(np.uint64)  # carry out of mid
+    # x = hi*2^64 + mid*2^32 + lo  (mid_c adds 2^96)
+    x_lo = lo + (mid << s32)
+    c0 = (x_lo < lo).astype(np.uint64)
+    x_hi = hi + (mid >> s32) + (mid_c << s32) + c0
+    # reduce: 2^64 == 2^32 - 1, 2^96 == -1 (mod p)
+    hi0, hi1 = x_hi & mask, x_hi >> s32
+    t = x_lo - hi1
+    t -= (x_lo < hi1).astype(np.uint64) * mask  # borrow: -2^64 == -(2^32-1)
+    u = hi0 * mask  # hi0 * (2^32 - 1) < 2^64
+    r = t + u
+    r += (r < u).astype(np.uint64) * mask  # carry: +2^64 == +(2^32-1)
+    return np.where(r >= p, r - p, r)
+
+
+def _powers_ladder_u64(generator: int, offset: int, n: int):
+    """[offset * generator^i for i in 0..n) as u64 via log-doubling:
+    log2(n) vectorized block multiplies instead of an O(n) Python loop
+    (which cost seconds at n = 2^20+)."""
     import numpy as np
 
     p = 0xFFFFFFFF00000001
-    out = np.empty(n, np.uint64)
-    acc = offset % p
-    for i in range(n):
-        out[i] = acc
-        acc = acc * generator % p
-    return out
+    out = np.empty(max(n, 1), np.uint64)
+    out[0] = offset % p
+    k = 1
+    while k < n:
+        m = min(k, n - k)
+        out[k:k + m] = _mulmod_scalar_u64(out[:m], pow(generator, k, p))
+        k *= 2
+    return out[:n]
+
+
+@functools.lru_cache(maxsize=64)
+def _domain_powers_small(generator: int, offset: int, n: int):
+    return _powers_ladder_u64(generator, offset, n)
+
+
+def _domain_powers_u64(generator: int, offset: int, n: int):
+    # cache only small ladders: 64 pinned (2^20,) u64 arrays would be
+    # half a GB of host RAM; the vectorized ladder is ~ms at that size.
+    if n <= (1 << 16):
+        return _domain_powers_small(generator, offset, n)
+    return _powers_ladder_u64(generator, offset, n)
 
 
 def _bary_eval_multi(cols_gf, cols_gfx, xs, points):

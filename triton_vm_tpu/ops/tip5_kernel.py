@@ -102,8 +102,19 @@ def _round(r, state):
     return gf.add(state, rc)
 
 
+def _use_pallas() -> bool:
+    """TVM_TIP5_PALLAS=1 forces the Pallas kernels (interpret mode on
+    CPU — lets pure-CPU CI run the exact kernel bodies), =0 forces the
+    XLA formulation; default 'auto' selects Pallas on real accelerators."""
+    import os
+
+    mode = os.environ.get("TVM_TIP5_PALLAS", "auto")
+    return mode == "1" or (mode == "auto"
+                           and jax.default_backend() != "cpu")
+
+
 def _permutation_impl(state):
-    if jax.default_backend() != "cpu":
+    if _use_pallas():
         # Pallas kernel: all 5 rounds in VMEM (11x the XLA graph, which
         # materializes every MDS tap in HBM). Bit-identical (tested).
         from . import tip5_pallas
@@ -231,7 +242,7 @@ def sponge_absorb_rows(rows):
     ones_col = gf.broadcast_to(gf.ones((1, 1)), (b, 1))
     zeros_cols = gf.zeros((b, pad_len))
     padded = gf.concatenate([rows, ones_col, zeros_cols], axis=1)
-    if jax.default_backend() != "cpu":
+    if _use_pallas():
         # Pallas sponge: the whole absorb loop runs in VMEM — one HBM
         # read of the rows, one write of the digests (10x over the XLA
         # scan, which round-trips the state through HBM per permutation)

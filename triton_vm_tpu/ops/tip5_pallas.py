@@ -36,6 +36,12 @@ from ..crypto import tip5
 from ..fields.bfe import P, R, R_INV
 from . import gf
 
+
+def _interpret() -> bool:
+    """Run the kernel in Pallas interpret mode off-TPU so pure-CPU CI
+    exercises the exact kernel bodies (tests/test_tip5_pallas.py)."""
+    return jax.default_backend() == "cpu"
+
 _MDS = tuple(int(c) for c in tip5.MDS_MATRIX_FIRST_COLUMN)
 _RC = np.array(tip5.ROUND_CONSTANTS, np.uint64).reshape(
     tip5.NUM_ROUNDS, 16)
@@ -155,6 +161,7 @@ def permutation(state, block: int = 1024):
         out_specs=(spec, spec),
         out_shape=(jax.ShapeDtypeStruct((16, bp), jnp.uint32),
                    jax.ShapeDtypeStruct((16, bp), jnp.uint32)),
+        interpret=_interpret(),
     )(jnp.asarray(_RC_LO), jnp.asarray(_RC_HI), lo, hi)
     if bp != b:
         out_lo, out_hi = out_lo[:, :b], out_hi[:, :b]
@@ -230,6 +237,7 @@ def sponge_absorb_rows_t(rows_t, block: int = 512):
         out_specs=(spec_out, spec_out),
         out_shape=(jax.ShapeDtypeStruct((5, bp), jnp.uint32),
                    jax.ShapeDtypeStruct((5, bp), jnp.uint32)),
+        interpret=_interpret(),
     )(jnp.asarray(_RC_LO), jnp.asarray(_RC_HI), lo, hi)
     if bp != b:
         out_lo, out_hi = out_lo[:, :b], out_hi[:, :b]

@@ -264,7 +264,11 @@ def quotient_codeword_jit(main_coeffs, aux_coeffs, main_rand, aux_rand,
 
     cfn_b = _coset_commit_bfe_fn(n, ntr, NUM_MAIN)
     cfn_x = _coset_commit_xfe_fn(n, ntr, NUM_AUX)
-    qfn = _quotient_fn(n, unit // m, h, gen_inv)
+    from .prover import _QUOTIENT_CHUNK_ROWS, _quotient_chunk_fn
+
+    chunked = n > _QUOTIENT_CHUNK_ROWS
+    qfn = (None if chunked
+           else _quotient_fn(n, unit // m, h, gen_inv))
 
     out = np.zeros((Q, 3), np.uint64)
     for t, (ladder, zvals) in enumerate(
@@ -275,7 +279,28 @@ def quotient_codeword_jit(main_coeffs, aux_coeffs, main_rand, aux_rand,
         xs = gf.from_u64(_powers_ladder(
             pow(quot_dom.generator, m, P), n,
             quot_dom.offset * pow(quot_dom.generator, t, P) % P))
-        acc = qfn(main_c, aux_c, ch, tuple(ws), xs)
+        if chunked:
+            # the tape value banks are O(num_constraints x rows) HBM:
+            # (403, 2^19) XFE temps OOMed a 15.75 GB chip at h = 2^18 —
+            # evaluate the coset in row chunks like the cached path
+            C = _QUOTIENT_CHUNK_ROWS
+            cq = _quotient_chunk_fn(h, gen_inv)
+            parts = []
+            for s in range(0, n, C):
+                idx = np.arange(s, s + C, dtype=np.int64)
+                nidx = (idx + unit // m) % n
+                parts.append(cq(
+                    gf.take(main_c, idx, axis=1),
+                    tuple(gf.take(aux_c[c], idx, axis=1)
+                          for c in range(3)),
+                    gf.take(main_c, nidx, axis=1),
+                    tuple(gf.take(aux_c[c], nidx, axis=1)
+                          for c in range(3)),
+                    ch, tuple(ws), gf.take(xs, idx)))
+            acc = tuple(gf.concatenate([p[c] for p in parts], axis=0)
+                        for c in range(3))
+        else:
+            acc = qfn(main_c, aux_c, ch, tuple(ws), xs)
         vals = np.stack([gf.to_u64(acc[c]) for c in range(3)], axis=1)
         out[t::m] = vals
     return out

@@ -67,8 +67,21 @@ class ProofStream:
         self.items: list[ProofItem] = []
         self.items_index = 0
         self.sponge = tip5.Tip5Sponge()
+        self.fs_events = None
+
+    def enable_fs_recording(self) -> list:
+        """Record the Fiat-Shamir event stream: ("absorb", padded_words)
+        and ("squeeze", outputs) tuples in occurrence order. Consumed by
+        models/recursive_verifier.py to replay the transcript in-VM."""
+        self.fs_events = []
+        self.sponge.squeeze_log = self.fs_events
+        return self.fs_events
 
     def alter_fiat_shamir_state_with(self, encoded_words):
+        if self.fs_events is not None:
+            padded = [int(w) for w in encoded_words] + [1]
+            padded += [0] * (-len(padded) % tip5.RATE)
+            self.fs_events.append(("absorb", padded))
         self.sponge.pad_and_absorb_all(encoded_words)
 
     def enqueue(self, item: ProofItem):

@@ -317,8 +317,14 @@ class Prover:
         # device from ONE upload of the 149 AIR columns — the numpy flow
         # round-trips the full tables through the ~10-80 MB/s tunnel.
         # Same tapes/scans as the host flow: bit-identical.
-        device_witness = (_jax.default_backend() != "cpu" and not use_jit
-                          and _os.environ.get("TVM_DEVICE_WITNESS") != "0")
+        # TVM_DEVICE_WITNESS=1 forces the path ON even on CPU (so CI can
+        # bit-identity-test it); =0 forces it OFF; default 'auto' uses it
+        # on real accelerators.
+        _dw = _os.environ.get("TVM_DEVICE_WITNESS", "auto")
+        device_witness = (not use_jit
+                          and (_dw == "1"
+                               or (_dw == "auto"
+                                   and _jax.default_backend() != "cpu")))
 
         _trace("fill main", "witness")
         main = mt.fill_main_table(aet, padded_height=h)
@@ -633,14 +639,24 @@ class Prover:
         # ------------------------------------------------ open trace rows
         # gather only the revealed rows from the device-resident codewords
         idx = np.array(revealed_indices, np.int64)
+        sel3 = qsel_batched = None
         if use_jit:
             sel = jit_lde.reveal_rows_bfe(
                 main_coeffs_dev, main_rand_dev, eval_dom, L, h, ntr,
                 revealed_indices).T  # (NM, k)
         else:
-            main_ldt_dev = (gf.tmap(lambda a: a[:, ::E // L], main_lde_dev)
-                            if E != L else main_lde_dev)
-            sel = gf.to_u64(gf.take(main_ldt_dev, idx, axis=1))  # (NM, k)
+            # ONE dispatch for every revealed row (main + aux + quotient
+            # segments): the per-array gathers were ~20 round-trips over
+            # the tunneled backend (~55 ms each — the bulk of the reveal
+            # stage at small heights)
+            msel_d, a3_d, qsel_d = _reveal_gather_fn(
+                main_lde_dev, aux_lde_dev, cws_dev, idx, stride=E // L)
+            sel = gf.to_u64(msel_d)
+            sel3 = [gf.to_u64(a3_d[c]) for c in range(3)]
+            qsel_batched = [
+                np.stack([gf.to_u64(qsel_d[s][c]) for c in range(3)],
+                         axis=1)
+                for s in range(NUM_RANDOMIZED_QUOTIENT_SEGMENTS)]
         main_rows = [[int(v) for v in sel[:, j]]
                      for j in range(len(revealed_indices))]
         proof_stream.enqueue(ProofItem("MasterMainTableRows", main_rows))
@@ -653,11 +669,6 @@ class Prover:
                 aux_coeffs_dev, aux_rand_dev, eval_dom, L, h, ntr,
                 revealed_indices)  # (k, NA, 3)
             sel3 = [rev[:, :, c].T for c in range(3)]
-        else:
-            aux_ldt_dev = (gfx.tmap(lambda a: a[:, ::E // L], aux_lde_dev)
-                           if E != L else aux_lde_dev)
-            sel3 = [gf.to_u64(gf.take(aux_ldt_dev[c], idx, axis=1))
-                    for c in range(3)]  # 3 x (NA, k)
         aux_rows = [[tuple(int(sel3[c][j, i]) for c in range(3))
                      for j in range(NUM_AUX)]
                     for i in range(len(revealed_indices))]
@@ -666,9 +677,10 @@ class Prover:
             "AuthenticationStructure",
             aux_tree.authentication_structure(revealed_indices)))
 
-        qsel = [np.stack([gf.to_u64(gf.take(cws_dev[s][c], idx, axis=0))
-                          for c in range(3)], axis=1)
-                for s in range(NUM_RANDOMIZED_QUOTIENT_SEGMENTS)]
+        qsel = (qsel_batched if qsel_batched is not None else
+                [np.stack([gf.to_u64(gf.take(cws_dev[s][c], idx, axis=0))
+                           for c in range(3)], axis=1)
+                 for s in range(NUM_RANDOMIZED_QUOTIENT_SEGMENTS)])
         quot_rows = [[tuple(int(x) for x in qsel[s][j])
                       for s in range(NUM_RANDOMIZED_QUOTIENT_SEGMENTS)]
                      for j in range(len(revealed_indices))]
@@ -689,9 +701,17 @@ class Verifier:
     def __init__(self, parameters: Stark):
         self.parameters = parameters
 
-    def verify(self, claim: Claim, proof: Proof):
+    def verify(self, claim: Claim, proof: Proof, collector: dict | None = None):
+        """Verify `proof` against `claim`.
+
+        `collector`, when given, is filled with the verifier's
+        intermediate values (challenges, OOD rows, weights, revealed
+        rows, ...) — consumed by models/recursive_verifier.py to lay a
+        concrete verification instance into Triton VM RAM."""
         stark = self.parameters
         proof_stream = ProofStream.decode(proof.words)
+        if collector is not None:
+            collector["fs_events"] = proof_stream.enable_fs_recording()
         proof_stream.alter_fiat_shamir_state_with(claim.encode())
 
         log2_padded_height = proof_stream.dequeue().expect("Log2PaddedHeight")
@@ -791,7 +811,8 @@ class Verifier:
         if len(main_rows) != t:
             raise VerificationError("wrong number of main rows")
         main_auth = proof_stream.dequeue().expect("AuthenticationStructure")
-        main_digests = [tuple(tip5.hash_varlen(row)) for row in main_rows]
+        main_arr = np.asarray(main_rows, np.uint64)  # (t, 379)
+        main_digests = _row_digests(main_arr)
         if not merkle.verify_authentication_structure(
                 tuple(main_root), ldt_dom.length, revealed_indices,
                 main_digests, main_auth):
@@ -801,9 +822,8 @@ class Verifier:
         if len(aux_rows) != t:
             raise VerificationError("wrong number of aux rows")
         aux_auth = proof_stream.dequeue().expect("AuthenticationStructure")
-        aux_digests = [
-            tuple(tip5.hash_varlen([c for x in row for c in x]))
-            for row in aux_rows]
+        aux_arr = np.asarray(aux_rows, np.uint64)  # (t, 91, 3)
+        aux_digests = _row_digests(aux_arr.reshape(t, -1))
         if not merkle.verify_authentication_structure(
                 tuple(aux_root), ldt_dom.length, revealed_indices,
                 aux_digests, aux_auth):
@@ -813,9 +833,8 @@ class Verifier:
         if len(quot_rows) != t:
             raise VerificationError("wrong number of quotient rows")
         quot_auth = proof_stream.dequeue().expect("AuthenticationStructure")
-        quot_digests = [
-            tuple(tip5.hash_varlen([c for x in row for c in x]))
-            for row in quot_rows]
+        quot_arr = np.asarray(quot_rows, np.uint64)  # (t, segs, 3)
+        quot_digests = _row_digests(quot_arr.reshape(t, -1))
         if not merkle.verify_authentication_structure(
                 tuple(quot_root), ldt_dom.length, revealed_indices,
                 quot_digests, quot_auth):
@@ -828,29 +847,65 @@ class Verifier:
             for idx in revealed_indices for pt in ood_points]
         denominator_invs = _batch_inverse_xfe(denominators)
 
-        for q, (idx, main_row, aux_row, quot_row, revealed) in enumerate(zip(
-                revealed_indices, main_rows, aux_rows, quot_rows,
-                revealed_values)):
-            main_aux_elem = _linear_sum(
-                [xfe.lift(v) for v in main_row], aux_row, weights)
-            shared = xfe.ZERO
-            for v, w in zip(quot_row[1:-1], w_qs[1:-1]):
-                shared = xfe.add(shared, xfe.mul(v, w))
-            quot_elem_p = xfe.add(xfe.mul(quot_row[0], w_qs[0]), shared)
-            quot_elem_r = xfe.add(xfe.mul(quot_row[-1], w_qs[-1]), shared)
+        # all t combination-codeword checks in one vectorized host pass
+        # (was a scalar-Python loop, t x ~470 XFE muls — the verify
+        # hotspot; same algebra via ops/npfield)
+        from ..ops import npfield as nf
 
-            invs = denominator_invs[4 * q:4 * q + 4]
-            deep_vals = [
-                xfe.mul(xfe.sub(main_aux_elem, ood_curr_main_aux), invs[0]),
-                xfe.mul(xfe.sub(main_aux_elem, ood_next_main_aux), invs[1]),
-                xfe.mul(xfe.sub(quot_elem_p, ood_quot_p_value), invs[2]),
-                xfe.mul(xfe.sub(quot_elem_r, ood_quot_r_value), invs[3]),
-            ]
-            acc = xfe.ZERO
-            for w, v in zip(weights["deep"], deep_vals):
-                acc = xfe.add(acc, xfe.mul(w, v))
-            if acc != revealed:
-                raise VerificationError("combination codeword mismatch")
+        w_main = np.asarray(weights["main"], np.uint64)    # (379, 3)
+        w_aux = np.asarray(weights["aux"], np.uint64)      # (91, 3)
+        w_qs_arr = np.asarray(w_qs, np.uint64)             # (segs+1, 3)
+        main_aux_elem = nf.xfe_add(
+            nf.xfe_sum(nf.xfe_bfe_mul(w_main[None], main_arr), 1),
+            nf.xfe_sum(nf.xfe_mul(w_aux[None], aux_arr), 1))   # (t, 3)
+        shared = nf.xfe_sum(
+            nf.xfe_mul(quot_arr[:, 1:-1], w_qs_arr[None, 1:-1]), 1)
+        quot_elem_p = nf.xfe_add(
+            nf.xfe_mul(quot_arr[:, 0], w_qs_arr[None, 0]), shared)
+        quot_elem_r = nf.xfe_add(
+            nf.xfe_mul(quot_arr[:, -1], w_qs_arr[None, -1]), shared)
+
+        invs = np.asarray(denominator_invs, np.uint64).reshape(t, 4, 3)
+        deep_vals = np.stack([
+            nf.xfe_mul(nf.xfe_sub(main_aux_elem,
+                                  np.asarray(ood_curr_main_aux, np.uint64)),
+                       invs[:, 0]),
+            nf.xfe_mul(nf.xfe_sub(main_aux_elem,
+                                  np.asarray(ood_next_main_aux, np.uint64)),
+                       invs[:, 1]),
+            nf.xfe_mul(nf.xfe_sub(quot_elem_p,
+                                  np.asarray(ood_quot_p_value, np.uint64)),
+                       invs[:, 2]),
+            nf.xfe_mul(nf.xfe_sub(quot_elem_r,
+                                  np.asarray(ood_quot_r_value, np.uint64)),
+                       invs[:, 3]),
+        ], axis=1)  # (t, 4, 3)
+        w_deep = np.asarray(weights["deep"], np.uint64)    # (4, 3)
+        acc = nf.xfe_sum(nf.xfe_mul(deep_vals, w_deep[None]), 1)
+        if not np.array_equal(acc, np.asarray(revealed_values, np.uint64)):
+            raise VerificationError("combination codeword mismatch")
+
+        if collector is not None:
+            collector.update(
+                padded_height=padded_height,
+                trace_domain_len=trace_domain_len,
+                trace_gen=trace_gen, merkle_height=merkle_height,
+                ldt_dom=ldt_dom, challenges=list(challenges.challenges),
+                quot_weights=list(quot_weights), alpha=alpha,
+                ood_main_curr=ood_main_curr, ood_aux_curr=ood_aux_curr,
+                ood_main_next=ood_main_next, ood_aux_next=ood_aux_next,
+                ood_quot_p=list(ood_quot_p), ood_quot_r=list(ood_quot_r),
+                init_vals=init_vals, cons_vals=cons_vals,
+                tran_vals=tran_vals, term_vals=term_vals,
+                weights=weights, revealed_indices=list(revealed_indices),
+                revealed_values=list(revealed_values),
+                main_rows=main_arr, aux_rows=aux_arr, quot_rows=quot_arr,
+                main_digests=main_digests, aux_digests=aux_digests,
+                quot_digests=quot_digests,
+                main_auth=main_auth, aux_auth=aux_auth,
+                quot_auth=quot_auth,
+                main_root=tuple(main_root), aux_root=tuple(aux_root),
+                quot_root=tuple(quot_root))
 
         if not proof_stream.is_exhausted():
             raise VerificationError("superfluous proof items")
@@ -858,6 +913,50 @@ class Verifier:
 
 
 # ----------------------------------------------------------- helper zone
+
+@functools.lru_cache(maxsize=1)
+def _reveal_gather_jit():
+    import jax
+
+    def fn(main_lde, aux_lde, cws, idx, stride):
+        sl = ((lambda a: gf.tmap(lambda x: x[:, ::stride], a))
+              if stride != 1 else (lambda a: a))
+        msel = gf.take(sl(main_lde), idx, axis=1)
+        a3 = tuple(gf.take(sl(aux_lde[c]), idx, axis=1) for c in range(3))
+        qsel = tuple(tuple(gf.take(cws[s][c], idx, axis=0)
+                           for c in range(3)) for s in range(len(cws)))
+        return msel, a3, qsel
+
+    return jax.jit(fn, static_argnames=("stride",))
+
+
+def _reveal_gather_fn(main_lde, aux_lde, cws, idx, *, stride):
+    return _reveal_gather_jit()(main_lde, aux_lde, tuple(cws), idx,
+                                stride=stride)
+
+
+def _row_digests(rows_u64: np.ndarray) -> list:
+    """Tip5 hash_varlen of every row of a (t, n) u64 array.
+
+    On accelerators: ONE batched device dispatch (the Pallas row sponge —
+    the same kernel the prover commits with). On CPU: the scalar host
+    sponge, which beats paying an XLA:CPU compile per (t, n) shape for
+    the handful of rows a verify touches. TVM_VERIFY_DEVICE_HASH=1/0
+    forces the choice (CI pins bit-identity of the device path)."""
+    import jax
+
+    mode = _os.environ.get("TVM_VERIFY_DEVICE_HASH", "auto")
+    use_device = (mode == "1"
+                  or (mode == "auto" and jax.default_backend() != "cpu"))
+    if use_device:
+        from ..ops import tip5_kernel
+
+        digests = gf.to_u64(
+            tip5_kernel.sponge_absorb_rows(gf.from_u64(rows_u64))).T
+        return [tuple(int(x) for x in d) for d in digests]
+    return [tuple(tip5.hash_varlen([int(x) for x in row]))
+            for row in rows_u64]
+
 
 @functools.lru_cache(maxsize=None)
 def _linearized_phase(phase):
@@ -1321,13 +1420,10 @@ def _np_xadd(a, b):
 
 
 def _bfe_powers_np(base: int, n: int) -> np.ndarray:
-    """[1, base, base^2, ...] as numpy uint64 (host ladder)."""
-    out = np.empty(n, np.uint64)
-    acc = 1
-    for i in range(n):
-        out[i] = acc
-        acc = acc * base % P
-    return out
+    """[1, base, base^2, ...] as numpy uint64 (vectorized host ladder)."""
+    from ..ops.kernels import _powers_ladder_u64
+
+    return _powers_ladder_u64(base, 1, n)
 
 
 def _xfe_scale_poly_arr(coeffs: np.ndarray, s: int, mul_const: int = 1):
